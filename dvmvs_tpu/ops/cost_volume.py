@@ -1,0 +1,150 @@
+"""Plane-sweep cost volume — the hot op of the system.
+
+Reference semantics (dvmvs/utils.py:45-107): for each of ``n_depth_levels``
+planes uniform in inverse depth between 1/max_depth and 1/min_depth, warp the
+measurement feature map into the reference view with the plane-induced
+homography, bilinearly sample it (zeros padding, align_corners=True), and
+reduce against the reference features — dot-product correlation / channels
+(dvmvs mode) or L1 absolute difference (MVDepthNet/GPMVS mode). Multi-view
+fusion is the mean over measurement views.
+
+TPU-native design: the reference runs a 64-iteration Python loop issuing one
+grid_sample per plane. Here all plane coordinates are produced by one batched
+einsum, and the warp+reduce runs as a `lax.map` over plane *chunks* so the
+(V, P, H, W, C) warped stack is never materialized in HBM — peak extra
+memory is one chunk. A fused Pallas kernel for the sample+reduce lives in
+ops/pallas/ (same contract, diffed against this implementation).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from dvmvs_tpu.ops.geometry import inverse_pose, make_warp_grid
+from dvmvs_tpu.ops.sampling import grid_sample
+
+
+def inverse_depth_planes(min_depth: float, max_depth: float, n_levels: int) -> jnp.ndarray:
+    """(P,) inverse depths, uniform in 1/d from 1/max_depth to 1/min_depth."""
+    base = 1.0 / max_depth
+    step = (1.0 / min_depth - 1.0 / max_depth) / (n_levels - 1)
+    return base + step * jnp.arange(n_levels, dtype=jnp.float32)
+
+
+def _plane_grids(
+    ref_pose: jnp.ndarray,
+    meas_pose: jnp.ndarray,
+    K: jnp.ndarray,
+    height: int,
+    width: int,
+    inv_depths: jnp.ndarray,
+) -> jnp.ndarray:
+    """Normalized sampling grids for every depth plane.
+
+    Returns (B, P, H, W, 2) grid-sample coordinates in [-1, 1] using the
+    reference's W/2, H/2 normalizers (dvmvs/utils.py:62-73).
+    """
+    B = ref_pose.shape[0]
+    P = inv_depths.shape[0]
+    grid = jnp.asarray(make_warp_grid(width, height))  # (3, H*W)
+
+    extrinsic = inverse_pose(meas_pose) @ ref_pose  # ref-cam -> meas-cam
+    R = extrinsic[:, :3, :3]
+    t = extrinsic[:, :3, 3:4]
+    Kt = K @ t  # (B, 3, 1)
+    K_R_Kinv = K @ R @ inverse_pose(K)
+    base = jnp.einsum("bij,jn->bin", K_R_Kinv, grid)  # (B, 3, N)
+
+    # coords[b, p] = base[b] + Kt[b] * inv_depth[p]
+    coords = base[:, None, :, :] + Kt[:, None, :, :] * inv_depths[None, :, None, None]
+    xy = coords[:, :, 0:2, :] / (coords[:, :, 2:3, :] + 1e-8)
+    x = xy[:, :, 0, :] / (width / 2.0) - 1.0
+    y = xy[:, :, 1, :] / (height / 2.0) - 1.0
+    return jnp.stack([x, y], axis=-1).reshape(B, P, height, width, 2)
+
+
+def plane_sweep_cost_volume(
+    ref_feat: jnp.ndarray,
+    meas_feat: jnp.ndarray,
+    ref_pose: jnp.ndarray,
+    meas_pose: jnp.ndarray,
+    K: jnp.ndarray,
+    min_depth: float,
+    max_depth: float,
+    n_depth_levels: int,
+    dot_product: bool = True,
+    plane_chunk: int = 8,
+) -> jnp.ndarray:
+    """Single-view plane-sweep cost volume.
+
+    ref_feat / meas_feat: (B, H, W, C) NHWC features at cost-volume
+    resolution; poses are camera-to-world (B, 4, 4); K is (B, 3, 3) at the
+    same resolution. Returns (B, H, W, P).
+    """
+    B, H, W, C = ref_feat.shape
+    inv_depths = inverse_depth_planes(min_depth, max_depth, n_depth_levels)
+    grids = _plane_grids(ref_pose, meas_pose, K, H, W, inv_depths)
+
+    P = n_depth_levels
+    chunk = min(plane_chunk, P)
+    assert P % chunk == 0, f"n_depth_levels {P} must be divisible by plane_chunk {chunk}"
+    n_chunks = P // chunk
+
+    # (n_chunks, B, chunk, H, W, 2)
+    grids = grids.reshape(B, n_chunks, chunk, H, W, 2).transpose(1, 0, 2, 3, 4, 5)
+
+    def chunk_fn(g):
+        gg = g.reshape(B, chunk * H, W, 2)
+        warped = grid_sample(meas_feat, gg, mode="bilinear", align_corners=True)
+        warped = warped.reshape(B, chunk, H, W, C)
+        if dot_product:
+            return jnp.einsum("bhwc,bphwc->bphw", ref_feat, warped) / C
+        return jnp.sum(jnp.abs(ref_feat[:, None] - warped), axis=-1)
+
+    cost = jax.lax.map(chunk_fn, grids)  # (n_chunks, B, chunk, H, W)
+    cost = cost.transpose(1, 0, 2, 3, 4).reshape(B, P, H, W)
+    return cost.transpose(0, 2, 3, 1)  # NHWC: planes as channels
+
+
+def cost_volume_fused(
+    ref_feat: jnp.ndarray,
+    meas_feats: jnp.ndarray,
+    ref_pose: jnp.ndarray,
+    meas_poses: jnp.ndarray,
+    K: jnp.ndarray,
+    min_depth: float,
+    max_depth: float,
+    n_depth_levels: int,
+    dot_product: bool = True,
+    view_mask: Optional[jnp.ndarray] = None,
+    plane_chunk: int = 8,
+) -> jnp.ndarray:
+    """Multi-view fused cost volume: masked mean over measurement views.
+
+    meas_feats: (B, V, H, W, C); meas_poses: (B, V, 4, 4);
+    view_mask: optional (B, V) float/bool — padded (invalid) views contribute
+    zero and the mean divides by the number of valid views. With no mask this
+    is the reference's plain mean over views (dvmvs/utils.py:89-107).
+
+    Static view count V + mask replaces the reference's Python-variable view
+    list, so one compiled program serves every keyframe cardinality.
+    """
+    V = meas_feats.shape[1]
+
+    def one_view(mf, mp):
+        return plane_sweep_cost_volume(
+            ref_feat, mf, ref_pose, mp, K,
+            min_depth, max_depth, n_depth_levels,
+            dot_product=dot_product, plane_chunk=plane_chunk,
+        )
+
+    per_view = jax.vmap(one_view, in_axes=(1, 1), out_axes=0)(meas_feats, meas_poses)
+    if view_mask is None:
+        return jnp.mean(per_view, axis=0)
+    m = view_mask.astype(per_view.dtype)  # (B, V)
+    weighted = jnp.einsum("vbhwp,bv->bhwp", per_view, m)
+    denom = jnp.maximum(jnp.sum(m, axis=1), 1.0)[:, None, None, None]
+    return weighted / denom

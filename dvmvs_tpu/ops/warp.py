@@ -1,0 +1,91 @@
+"""Depth-based warping: ConvLSTM hidden-state warp and forward depth splat.
+
+  - ``warp_frame_depth``: backward warp of a source image/state into the
+    destination view using the destination depth (reference:
+    dvmvs/utils.py:205-258, vendored from kornia with a relu on z).
+  - ``splat_depth_max``: forward-splat a previous depth map into the current
+    view, keeping the LARGEST z per landing pixel. The reference implements
+    this with a z-descending sort, a CPU ``np.unique`` round-trip and
+    ``index_put_`` (dvmvs/utils.py:110-154); here it is a single on-device
+    scatter-max over linearized pixel ids — same tie-breaking (max z wins),
+    no host transfer.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from dvmvs_tpu.ops.geometry import (
+    depth_to_3d,
+    normalize_pixel_coordinates,
+    project_points,
+    transform_points,
+)
+from dvmvs_tpu.ops.sampling import grid_sample
+
+
+def warp_frame_depth(
+    image_src: jnp.ndarray,
+    depth_dst: jnp.ndarray,
+    src_trans_dst: jnp.ndarray,
+    K: jnp.ndarray,
+    sampling_mode: str = "bilinear",
+) -> jnp.ndarray:
+    """Warp ``image_src`` (B, H, W, C) into the dst view.
+
+    depth_dst: (B, H, W) metric depth in the destination view;
+    src_trans_dst: (B, 4, 4) transform taking dst-camera points to
+    src-camera coordinates; K: (B, 3, 3) at this resolution.
+    """
+    B, H, W = depth_dst.shape
+    points_dst = depth_to_3d(depth_dst, K)  # (B, H, W, 3)
+    points_src = transform_points(src_trans_dst, points_dst)
+    z = jax.nn.relu(points_src[..., 2])
+    points_src = jnp.concatenate([points_src[..., :2], z[..., None]], axis=-1)
+    uv = project_points(points_src, K)  # (B, H, W, 2)
+    grid = normalize_pixel_coordinates(uv, H, W)
+    return grid_sample(image_src, grid, mode=sampling_mode, align_corners=True)
+
+
+def splat_depth_max(
+    previous_depth: jnp.ndarray,
+    previous_pose: jnp.ndarray,
+    current_pose: jnp.ndarray,
+    full_K: jnp.ndarray,
+    half_K: jnp.ndarray,
+    out_height: int,
+    out_width: int,
+) -> jnp.ndarray:
+    """Forward-splat ``previous_depth`` (B, H, W) into the current view.
+
+    Unprojects the previous prediction with full-res intrinsics, transforms
+    into the current camera, round-projects with half-res intrinsics, and
+    scatter-maxes z over landing pixels. Returns a sparse (B, out_height,
+    out_width) depth hypothesis; unhit pixels are 0.
+
+    Matches the reference's keep-largest-z collision rule
+    (dvmvs/utils.py:110-154) without the CPU np.unique round-trip.
+    """
+    B = previous_depth.shape[0]
+    trans = jnp.linalg.inv(current_pose) @ previous_pose  # prev-cam -> cur-cam
+
+    points_prev = depth_to_3d(previous_depth, full_K)  # (B, H, W, 3)
+    points_cur = transform_points(trans, points_prev).reshape(B, -1, 3)
+    z = jax.nn.relu(points_cur[..., 2])
+    points_cur = jnp.concatenate([points_cur[..., :2], z[..., None]], axis=-1)
+
+    uv = jnp.round(project_points(points_cur, half_K)).astype(jnp.int32)
+    x, y = uv[..., 0], uv[..., 1]
+    valid = (x >= 0) & (y >= 0) & (x < out_width) & (y < out_height)
+    n_pix = out_height * out_width
+    # Invalid points land on a sentinel slot that is sliced away.
+    lin = jnp.where(valid, y * out_width + x, n_pix)
+
+    def splat_one(lin_b, z_b):
+        buf = jnp.zeros((n_pix + 1,), dtype=z_b.dtype)
+        buf = buf.at[lin_b].max(z_b)
+        return buf[:n_pix]
+
+    out = jax.vmap(splat_one)(lin, z)
+    return out.reshape(B, out_height, out_width)

@@ -1,0 +1,39 @@
+"""Test configuration: force a virtual 8-device CPU mesh.
+
+Tests never require TPU hardware; multi-chip sharding tests run against
+XLA's host-platform device virtualization (the TPU-world equivalent of a
+fake backend). The sandbox's sitecustomize registers the remote-TPU (axon)
+backend at interpreter start and pins ``jax_platforms``, so we must override
+via jax.config here, not just env vars.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(42)
+
+
+def random_pose(rs: np.random.RandomState, t_scale: float = 0.5) -> np.ndarray:
+    """Random valid camera-to-world pose (rotation via QR, det +1)."""
+    A = rs.randn(3, 3)
+    Q, R = np.linalg.qr(A)
+    Q = Q * np.sign(np.diag(R))
+    if np.linalg.det(Q) < 0:
+        Q[:, 0] *= -1
+    pose = np.eye(4)
+    pose[:3, :3] = Q
+    pose[:3, 3] = rs.randn(3) * t_scale
+    return pose
