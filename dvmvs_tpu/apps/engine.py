@@ -1,0 +1,163 @@
+"""Inference engine: the device-side step functions for the drivers.
+
+The reference drivers run 5 torch modules plus geometry from per-frame
+Python (fusionnet/run-testing-online.py:158-211). Here the device work is
+two jitted functions with static shapes:
+
+  - ``encode``: MnasNet+FPN features for one frame. Called once per
+    ACCEPTED keyframe; the half-res features are cached alongside the
+    keyframe buffer entry, so measurement features are never recomputed
+    (the reference re-runs the backbone on every measurement frame each
+    step).
+  - ``predict``: cost volume -> encoder [-> LSTM] -> decoder. Fusionnet's
+    depth hypothesis (forward splat of the previous prediction + nearest
+    x1/16) is computed inside the same jit — the previous depth stays on
+    device between frames; there is no per-frame host round-trip
+    (the reference bounces through np.unique on CPU, utils.py:148).
+
+Measurement views are padded to ``n_measurement_frames`` with a validity
+mask so one compiled program serves every keyframe cardinality.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dvmvs_tpu.config import TestConfig
+from dvmvs_tpu.models.fusionnet import FusionNet, LSTMCarry, init_lstm_carry
+from dvmvs_tpu.models.pairnet import PairNet, scale_intrinsics
+from dvmvs_tpu.ops.sampling import resize_nearest
+from dvmvs_tpu.ops.warp import splat_depth_max
+
+
+class InferenceEngine:
+    def __init__(
+        self,
+        model_kind: str,
+        cfg: TestConfig = TestConfig(),
+        variables=None,
+        seed: int = 0,
+    ):
+        assert model_kind in ("pairnet", "fusionnet")
+        self.kind = model_kind
+        self.cfg = cfg
+        self.H, self.W = cfg.image_height, cfg.image_width
+        self.V = cfg.n_measurement_frames
+
+        if model_kind == "pairnet":
+            self.model = PairNet(cfg.depth.min_depth, cfg.depth.max_depth, cfg.depth.n_depth_levels)
+        else:
+            self.model = FusionNet(cfg.depth.min_depth, cfg.depth.max_depth, cfg.depth.n_depth_levels)
+
+        self._extract = jax.jit(
+            lambda v, img: self.model.apply(v, img, method="extract_features")
+        )
+
+        if variables is None:
+            variables = self._init_variables(seed)
+        self.variables = variables
+
+        self._predict_pair = jax.jit(self._predict_pair_impl)
+        self._predict_fusion = jax.jit(self._predict_fusion_impl)
+        self.reset()
+
+    # ------------------------------------------------------------------ init
+    def _init_variables(self, seed: int):
+        H, W = self.H, self.W
+        dummy = jnp.zeros((1, H, W, 3), jnp.float32)
+        return jax.jit(self.model.init, static_argnames=())(
+            jax.random.PRNGKey(seed), *self._dummy_call_args(dummy)
+        )
+
+    def _dummy_call_args(self, ref):
+        H, W, V = self.H, self.W, self.V
+        meas = jnp.zeros((1, V, H, W, 3), jnp.float32)
+        pose = jnp.eye(4, dtype=jnp.float32)[None]
+        mposes = jnp.tile(pose[:, None], (1, V, 1, 1))
+        K = jnp.asarray(np.array([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1]], np.float32)[None])
+        if self.kind == "pairnet":
+            return (ref, meas, pose, mposes, K)
+        carry = init_lstm_carry(1, H, W)
+        hyp = jnp.zeros((1, H // 32, W // 32), jnp.float32)
+        return (ref, meas, pose, mposes, K, carry, pose, hyp)
+
+    # ------------------------------------------------------------- jit impls
+    def _predict_pair_impl(self, variables, ref_image, ref_feats, meas_half,
+                           ref_pose, meas_poses, K, view_mask):
+        return self.model.apply(
+            variables, ref_image, ref_feats, meas_half, ref_pose, meas_poses,
+            K, view_mask, method="predict_depth",
+        )
+
+    def _predict_fusion_impl(self, variables, ref_image, ref_feats, meas_half,
+                             ref_pose, meas_poses, K, view_mask,
+                             carry, prev_pose, prev_depth, has_prev):
+        H, W = self.H, self.W
+        half_K = scale_intrinsics(K, 0.5)
+        splat = splat_depth_max(prev_depth, prev_pose, ref_pose, K, half_K, H // 2, W // 2)
+        hyp = resize_nearest(splat, H // 32, W // 32) * has_prev
+        depths, carry = self.model.apply(
+            variables, ref_image, ref_feats, meas_half, ref_pose, meas_poses,
+            K, carry, prev_pose, hyp, view_mask, method="predict_depth",
+        )
+        return depths, carry, depths[0]
+
+    # ---------------------------------------------------------------- host API
+    def reset(self):
+        """Reset recurrent state (tracking lost / new scene)."""
+        self.carry = init_lstm_carry(1, self.H, self.W)
+        self.prev_pose = jnp.eye(4, dtype=jnp.float32)[None]
+        self.prev_depth = jnp.zeros((1, self.H, self.W), jnp.float32)
+        self.has_prev = jnp.zeros((), jnp.float32)
+
+    def encode(self, image: np.ndarray):
+        """image (H, W, 3) preprocessed float32 -> feature tuple (device)."""
+        return self._extract(self.variables, jnp.asarray(image)[None])
+
+    def predict(
+        self,
+        ref_image: np.ndarray,
+        ref_feats,
+        meas_half: Sequence[jnp.ndarray],
+        ref_pose: np.ndarray,
+        meas_poses: Sequence[np.ndarray],
+        K: np.ndarray,
+    ) -> np.ndarray:
+        """One depth prediction. meas_half: list (<=V) of (1, H/2, W/2, C)
+        cached measurement features; returns the full-res depth (H, W)."""
+        V = self.V
+        n = len(meas_half)
+        assert 1 <= n <= V, f"need 1..{V} measurement frames, got {n}"
+        mask = np.zeros((1, V), np.float32)
+        mask[0, :n] = 1.0
+        padded = list(meas_half) + [meas_half[0]] * (V - n)
+        meas_stack = jnp.stack([f[0] for f in padded], axis=0)[None]  # (1,V,h,w,c)
+        mposes = list(meas_poses) + [meas_poses[0]] * (V - n)
+        mposes = jnp.asarray(np.stack(mposes, axis=0).astype(np.float32))[None]
+
+        ref_image_j = jnp.asarray(ref_image.astype(np.float32))[None]
+        ref_pose_j = jnp.asarray(ref_pose.astype(np.float32))[None]
+        K_j = jnp.asarray(K.astype(np.float32))[None]
+        mask_j = jnp.asarray(mask)
+
+        if self.kind == "pairnet":
+            depths = self._predict_pair(
+                self.variables, ref_image_j, ref_feats, meas_stack,
+                ref_pose_j, mposes, K_j, mask_j)
+            return np.asarray(depths[0][0])
+
+        depths, carry, full = self._predict_fusion(
+            self.variables, ref_image_j, ref_feats, meas_stack,
+            ref_pose_j, mposes, K_j, mask_j,
+            self.carry, self.prev_pose, self.prev_depth, self.has_prev)
+        self.carry = carry
+        self.prev_pose = ref_pose_j
+        self.prev_depth = full
+        self.has_prev = jnp.ones((), jnp.float32)
+        return np.asarray(depths[0][0])

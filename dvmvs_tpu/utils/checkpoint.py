@@ -1,0 +1,39 @@
+"""Checkpointing: one pytree per model.
+
+The reference scatters 5 per-module torch pickles matched to modules by
+sorted-filename order (dvmvs/utils.py:294-316, fusionnet/run-testing.py:31-41
+— fragile). Here the whole model is a single Flax variables pytree
+serialized with msgpack; orbax can layer async/multi-host checkpointing on
+top for training runs.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import flax.serialization
+import jax
+
+
+def save_checkpoint(path: str, variables: Any):
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    data = flax.serialization.to_bytes(variables)
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def load_checkpoint(path: str, template: Any) -> Any:
+    """Restore into the structure of ``template`` (e.g. model.init output)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    return flax.serialization.from_bytes(template, data)
+
+
+def checkpoint_exists(path: Optional[str]) -> bool:
+    return bool(path) and os.path.isfile(path)
+
+
+def param_count(variables: Any) -> int:
+    params = variables.get("params", variables)
+    return sum(int(p.size) for p in jax.tree.leaves(params))
