@@ -1,0 +1,196 @@
+"""Training driver for pairnet / fusionnet
+(reference: dvmvs/train.py, dvmvs/{pairnet,fusionnet}/run-training.py).
+
+Replicates the reference schedule: staged unfreeze (pairnet 2 stages,
+fusionnet 3), Adam(1e-4), L1-inv loss over 5 scales, per-epoch validation,
+checkpoint on improvement — with pjit data parallelism over the device mesh
+and a double-buffered host->device input pipeline.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+import jax
+
+from dvmvs_tpu.config import TrainConfig
+from dvmvs_tpu.data.dataset import MVSSequenceDataset, batch_iterator, device_prefetch
+from dvmvs_tpu.models.fusionnet import FusionNet
+from dvmvs_tpu.models.pairnet import PairNet
+from dvmvs_tpu.models.training_heads import fusionnet_train_sequence, pairnet_train_pair
+from dvmvs_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from dvmvs_tpu.parallel.train import (
+    FUSIONNET_STAGES,
+    PAIRNET_STAGES,
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+from dvmvs_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from dvmvs_tpu.utils.losses import LossMeter
+
+
+def init_variables(model, kind: str, cfg: TrainConfig, rng_seed: int = 0):
+    import jax.numpy as jnp
+
+    S = cfg.subsequence_length if kind == "fusionnet" else 2
+    H, W = cfg.image_height, cfg.image_width
+    B = 1
+    dummy = {
+        "images": jnp.zeros((B, S, H, W, 3), jnp.float32),
+        "depths": jnp.ones((B, S, H, W), jnp.float32),
+        "poses": jnp.tile(jnp.eye(4, dtype=jnp.float32), (B, S, 1, 1)),
+        "K": jnp.tile(
+            jnp.asarray(np.array([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1]], np.float32)),
+            (B, 1, 1),
+        ),
+    }
+    if kind == "fusionnet":
+        return model.init(
+            jax.random.PRNGKey(rng_seed), dummy["images"], dummy["depths"],
+            dummy["poses"], dummy["K"], method=fusionnet_train_sequence)
+    import jax.numpy as jnp
+    return model.init(
+        jax.random.PRNGKey(rng_seed), dummy["images"], dummy["depths"],
+        dummy["poses"], dummy["K"], jnp.zeros((2,), bool),
+        method=pairnet_train_pair)
+
+
+def run_epoch(step_fn, state, dataset, cfg, mesh, seed, kind, print_frequency=100,
+              max_steps=None):
+    meter = LossMeter()
+    data_sh = batch_sharding(mesh)
+    it = device_prefetch(
+        batch_iterator(dataset, cfg.batch_size, shuffle=True, seed=seed), data_sh)
+    rng = jax.random.PRNGKey(seed)
+    t0 = time.time()
+    n = 0
+    for batch in it:
+        if max_steps is not None and n >= max_steps:
+            break
+        rng, sub = jax.random.split(rng)
+        state, metrics = step_fn(state, batch, jax.device_put(sub, replicated_sharding(mesh)))
+        n += 1
+        if n % print_frequency == 0:
+            loss = float(metrics["loss"])
+            meter.update(loss, 1)
+            rate = n * cfg.batch_size / (time.time() - t0)
+            print(f"  step {n}: loss {loss:.4f} ({meter.avg:.4f} avg) {rate:.1f} samples/s",
+                  flush=True)
+    return state, meter
+
+
+def validate(eval_fn, state, dataset, cfg):
+    meters = {k: LossMeter() for k in ("l1", "huber", "l1_inv", "l1_rel")}
+    for batch in device_prefetch(batch_iterator(dataset, cfg.batch_size, shuffle=False)):
+        metrics = eval_fn(state, batch)
+        count = float(metrics["valid_count"])
+        for k in meters:
+            meters[k].update(float(metrics[k]), max(count, 1.0))
+    return [meters[k].avg for k in ("l1", "l1_inv", "l1_rel", "huber")]
+
+
+def main():
+    from dvmvs_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model", choices=["pairnet", "fusionnet"], default="fusionnet")
+    ap.add_argument("--dataset", required=True)
+    ap.add_argument("--run-directory", default="training-runs")
+    ap.add_argument("--warm-start", default=None, help="checkpoint to initialize from")
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--finetune-epochs", type=int, default=1)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--n-devices", type=int, default=None)
+    ap.add_argument("--image-size", type=int, nargs=2, default=None,
+                    metavar=("W", "H"), help="override train resolution")
+    ap.add_argument("--subsequence-length", type=int, default=None)
+    ap.add_argument("--max-steps", type=int, default=None,
+                    help="cap optimizer steps per epoch (smoke tests)")
+    args = ap.parse_args()
+
+    kind = args.model
+    overrides = dict(
+        subsequence_length=args.subsequence_length
+        or (8 if kind == "fusionnet" else 2),
+        batch_size=args.batch_size or (4 if kind == "fusionnet" else 14),
+        seed=args.seed,
+    )
+    if args.epochs is not None:
+        overrides["epochs"] = args.epochs
+    if args.image_size is not None:
+        overrides["image_width"], overrides["image_height"] = args.image_size
+    cfg = TrainConfig(**overrides)
+
+    run_dir = os.path.join(args.run_directory, time.strftime("%Y%m%d-%H%M%S"))
+    os.makedirs(run_dir, exist_ok=True)
+    print("run directory:", run_dir)
+
+    model = (FusionNet() if kind == "fusionnet" else PairNet())
+    variables = init_variables(model, kind, cfg, args.seed)
+    if args.warm_start:
+        variables = load_checkpoint(args.warm_start, variables)
+        print("warm-started from", args.warm_start)
+
+    train_set = MVSSequenceDataset(
+        args.dataset, "TRAINING", cfg.subsequence_length, cfg,
+        geometric_scale_augmentation=True, seed=args.seed)
+    val_set = MVSSequenceDataset(
+        args.dataset, "VALIDATION", cfg.subsequence_length, cfg, seed=args.seed)
+    print(f"{len(train_set)} train samples, {len(val_set)} val samples")
+
+    mesh = make_mesh(args.n_devices)
+    print(f"mesh: {mesh.size} device(s)")
+
+    stages = FUSIONNET_STAGES if kind == "fusionnet" else PAIRNET_STAGES
+    two_way = kind == "pairnet" and cfg.predict_two_way
+
+    best_loss = [np.inf] * 4
+    state = None
+    epoch = 0
+    for stage_i, modules in enumerate(stages):
+        tx = make_optimizer(
+            variables["params"], modules, cfg.learning_rate,
+            cfg.adam_beta1, cfg.adam_beta2, cfg.weight_decay)
+        if state is None:
+            state = create_train_state(variables, tx)
+        else:
+            state = TrainState(state.step, state.params, state.batch_stats,
+                               tx.init(state.params))
+        state = jax.device_put(state, replicated_sharding(mesh))
+        step_fn = make_train_step(model, tx, mesh=mesh, kind=kind, two_way=two_way)
+        eval_fn = make_eval_step(model, kind=kind)
+
+        last_stage = stage_i == len(stages) - 1
+        n_epochs = (cfg.epochs - epoch) if last_stage else args.finetune_epochs
+        for _ in range(n_epochs):
+            print(f"\nEPOCH {epoch} (stage {stage_i}: {modules})")
+            state, meter = run_epoch(step_fn, state, train_set, cfg, mesh,
+                                     args.seed + epoch, kind,
+                                     print_frequency=2 if args.max_steps else 100,
+                                     max_steps=args.max_steps)
+            losses = validate(eval_fn, state, val_set, cfg)
+            print(f"  validation l1/l1-inv/l1-rel/huber: "
+                  + " ".join(f"{l:.4f}" for l in losses))
+            if any(l < b for l, b in zip(losses, best_loss)):
+                best_loss = [min(l, b) for l, b in zip(losses, best_loss)]
+                ckpt = os.path.join(run_dir, f"{kind}_epoch{epoch}.msgpack")
+                save_checkpoint(ckpt, {
+                    "params": jax.device_get(state.params),
+                    "batch_stats": jax.device_get(state.batch_stats),
+                })
+                print("  saved", ckpt)
+            epoch += 1
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+
+if __name__ == "__main__":
+    main()

@@ -77,6 +77,18 @@ def fusionnet_train_sequence(self, images, depths, poses, K):
             x["image"], skip0, skip1, skip2, skip3, h2, True)
         return (h2, c2), preds
 
+    hidden = self.hidden_channels
+    carry0 = (
+        jnp.zeros((B, H // 32, W // 32, hidden), images.dtype),
+        jnp.zeros((B, H // 32, W // 32, hidden), images.dtype),
+    )
+
+    if self.is_initializing():
+        # Materialize params/batch_stats of the scanned submodules before the
+        # scan: lax.scan requires the carried collection to exist up front.
+        _, preds0 = body(self, carry0, jax.tree.map(lambda x: x[0], xs))
+        return jax.tree.map(lambda p: jnp.broadcast_to(p[None], (S - 1,) + p.shape), preds0)
+
     scan = nn.scan(
         body,
         variable_broadcast="params",
@@ -84,11 +96,6 @@ def fusionnet_train_sequence(self, images, depths, poses, K):
         split_rngs={"params": False},
         in_axes=0,
         out_axes=0,
-    )
-    hidden = self.hidden_channels
-    carry0 = (
-        jnp.zeros((B, H // 32, W // 32, hidden), images.dtype),
-        jnp.zeros((B, H // 32, W // 32, hidden), images.dtype),
     )
     _, preds = scan(self, carry0, xs)
     return preds  # tuple of 5, each (S-1, B, h, w)

@@ -51,12 +51,16 @@ def _plane_grids(
     P = inv_depths.shape[0]
     grid = jnp.asarray(make_warp_grid(width, height))  # (3, H*W)
 
-    extrinsic = inverse_pose(meas_pose) @ ref_pose  # ref-cam -> meas-cam
-    R = extrinsic[:, :3, :3]
-    t = extrinsic[:, :3, 3:4]
-    Kt = K @ t  # (B, 3, 1)
-    K_R_Kinv = K @ R @ inverse_pose(K)
-    base = jnp.einsum("bij,jn->bin", K_R_Kinv, grid)  # (B, 3, N)
+    # Geometry matmuls must run at full f32 precision: the TPU default
+    # (bf16 MXU passes) injects ~1e-3-relative coordinate error, which moves
+    # sample positions by ~0.1 px and visibly corrupts the cost volume.
+    with jax.default_matmul_precision("highest"):
+        extrinsic = inverse_pose(meas_pose) @ ref_pose  # ref-cam -> meas-cam
+        R = extrinsic[:, :3, :3]
+        t = extrinsic[:, :3, 3:4]
+        Kt = K @ t  # (B, 3, 1)
+        K_R_Kinv = K @ R @ inverse_pose(K)
+        base = jnp.einsum("bij,jn->bin", K_R_Kinv, grid)  # (B, 3, N)
 
     # coords[b, p] = base[b] + Kt[b] * inv_depth[p]
     coords = base[:, None, :, :] + Kt[:, None, :, :] * inv_depths[None, :, None, None]
@@ -109,6 +113,33 @@ def plane_sweep_cost_volume(
     return cost.transpose(0, 2, 3, 1)  # NHWC: planes as channels
 
 
+def _gather_fused(
+    ref_feat, meas_feats, ref_pose, meas_poses, K,
+    min_depth, max_depth, n_depth_levels, dot_product, view_mask, plane_chunk,
+):
+    V = meas_feats.shape[1]
+
+    def one_view(mf, mp):
+        return plane_sweep_cost_volume(
+            ref_feat, mf, ref_pose, mp, K,
+            min_depth, max_depth, n_depth_levels,
+            dot_product=dot_product, plane_chunk=plane_chunk,
+        )
+
+    per_view = jax.vmap(one_view, in_axes=(1, 1), out_axes=0)(meas_feats, meas_poses)
+    return _masked_view_mean(per_view, view_mask)
+
+
+def _masked_view_mean(per_view, view_mask):
+    """per_view: (V, B, H, W, P) -> masked mean (B, H, W, P)."""
+    if view_mask is None:
+        return jnp.mean(per_view, axis=0)
+    m = view_mask.astype(per_view.dtype)  # (B, V)
+    weighted = jnp.einsum("vbhwp,bv->bhwp", per_view, m)
+    denom = jnp.maximum(jnp.sum(m, axis=1), 1.0)[:, None, None, None]
+    return weighted / denom
+
+
 def cost_volume_fused(
     ref_feat: jnp.ndarray,
     meas_feats: jnp.ndarray,
@@ -121,6 +152,7 @@ def cost_volume_fused(
     dot_product: bool = True,
     view_mask: Optional[jnp.ndarray] = None,
     plane_chunk: int = 8,
+    method: str = "auto",
 ) -> jnp.ndarray:
     """Multi-view fused cost volume: masked mean over measurement views.
 
@@ -131,20 +163,57 @@ def cost_volume_fused(
 
     Static view count V + mask replaces the reference's Python-variable view
     list, so one compiled program serves every keyframe cardinality.
+
+    method: 'pallas' | 'gather' | 'auto'. 'auto' uses the fused Pallas TPU
+    kernel (gather-free, ~7x faster) with a runtime band-validity check that
+    falls back to the gather path under extreme inter-view rotation
+    (lax.cond — both branches compiled, one executed). The Pallas kernel is
+    forward-only; training paths use the differentiable gather
+    implementation directly.
     """
-    V = meas_feats.shape[1]
+    B, V = meas_feats.shape[:2]
+    H, W = ref_feat.shape[1:3]
 
-    def one_view(mf, mp):
-        return plane_sweep_cost_volume(
-            ref_feat, mf, ref_pose, mp, K,
-            min_depth, max_depth, n_depth_levels,
-            dot_product=dot_product, plane_chunk=plane_chunk,
-        )
+    use_pallas = (
+        method == "pallas"
+        or (method == "auto" and dot_product and jax.default_backend() == "tpu")
+    )
+    if not use_pallas:
+        return _gather_fused(
+            ref_feat, meas_feats, ref_pose, meas_poses, K,
+            min_depth, max_depth, n_depth_levels, dot_product, view_mask,
+            plane_chunk)
 
-    per_view = jax.vmap(one_view, in_axes=(1, 1), out_axes=0)(meas_feats, meas_poses)
-    if view_mask is None:
-        return jnp.mean(per_view, axis=0)
-    m = view_mask.astype(per_view.dtype)  # (B, V)
-    weighted = jnp.einsum("vbhwp,bv->bhwp", per_view, m)
-    denom = jnp.maximum(jnp.sum(m, axis=1), 1.0)[:, None, None, None]
-    return weighted / denom
+    from dvmvs_tpu.ops.pallas.cost_volume_kernel import (
+        BAND_H,
+        build_plane_matrices,
+        max_row_span,
+        pallas_plane_sweep,
+    )
+
+    inv_depths = inverse_depth_planes(min_depth, max_depth, n_depth_levels)
+    Ms = jax.vmap(
+        jax.vmap(build_plane_matrices, in_axes=(None, 0, None, None)),
+        in_axes=(0, 0, 0, None),
+    )(ref_pose, meas_poses, K, inv_depths)  # (B, V, P, 3, 3)
+    span = jnp.max(jax.vmap(jax.vmap(lambda m: max_row_span(m, H, W)))(Ms))
+
+    def pallas_branch():
+        flat_ref = jnp.repeat(ref_feat[:, None], V, axis=1).reshape(B * V, H, W, -1)
+        flat_meas = meas_feats.reshape((B * V,) + meas_feats.shape[2:])
+        flat_M = Ms.reshape(B * V, n_depth_levels, 3, 3)
+        cvs = jax.lax.map(
+            lambda t: pallas_plane_sweep(t[0], t[1], t[2]),
+            (flat_ref, flat_meas, flat_M),
+        )  # (B*V, P, H, W)
+        per_view = cvs.reshape(B, V, n_depth_levels, H, W)
+        per_view = per_view.transpose(1, 0, 3, 4, 2)  # (V, B, H, W, P)
+        return _masked_view_mean(per_view, view_mask)
+
+    def gather_branch():
+        return _gather_fused(
+            ref_feat, meas_feats, ref_pose, meas_poses, K,
+            min_depth, max_depth, n_depth_levels, dot_product, view_mask,
+            plane_chunk)
+
+    return jax.lax.cond(span <= BAND_H, pallas_branch, gather_branch)

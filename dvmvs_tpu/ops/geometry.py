@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 # kornia's convert_points_from_homogeneous guard: coordinates with
@@ -97,7 +98,10 @@ def transform_points(trans: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
     R = trans[:, :3, :3]
     t = trans[:, :3, 3]
     flat = points.reshape(B, -1, 3)
-    out = jnp.einsum("bij,bnj->bni", R, flat) + t[:, None, :]
+    # full f32: the TPU bf16-matmul default would shift warped sample
+    # positions by ~0.1 px (see cost_volume._plane_grids)
+    out = jnp.einsum("bij,bnj->bni", R, flat,
+                     precision=jax.lax.Precision.HIGHEST) + t[:, None, :]
     return out.reshape(points.shape)
 
 

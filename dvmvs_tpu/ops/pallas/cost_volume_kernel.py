@@ -1,0 +1,170 @@
+"""Fused Pallas TPU kernel for the plane-sweep cost volume.
+
+Replaces the reference's 64-iteration grid_sample loop (dvmvs/utils.py:65-84)
+and our XLA gather path with a gather-free formulation:
+
+  bilinear sampling == two hat-function interpolations
+      warped(x) = sum_k hat(ys(x)-k) * sum_j hat(xs(x)-j) * img[k, j]
+  with hat(t) = max(0, 1-|t|). The inner sum over j is a dense
+  (band*C x W_in) @ (W_in x W_out) matmul on the MXU; the outer sum runs
+  over a height-BAND_H source-row *band* dynamically sliced from the
+  VMEM-resident measurement features around each output row's y-span.
+
+Per grid step (plane p, row-block): compute the homography coordinates on
+the VPU from per-plane 3x3 matrices (scalar-prefetched to SMEM), slice the
+band, build the hat matrix, matmul, collapse with the y-hat weights, and
+dot-reduce against the reference features — emitting (planes, H, W) cost
+directly. The warped feature stack never exists in HBM, and there is not a
+single gather in the program.
+
+Layout: features enter as (H, C, W) — channel-major rows — so every kernel
+value is a 2-D (sublane x lane) tile; Mosaic has no 3-D dot/reshape.
+
+Zeros-padding + align_corners=True semantics match torch grid_sample
+exactly: out-of-range corners receive zero hat weight, and the reference's
+W/2-normalizer convention is folded into the coordinate scale factors
+(x_sample = x_pix * (W-1)/W).
+
+Correctness domain: any output row's in-bounds y-span must fit in BAND_H
+source rows (roll between views up to ~atan(BAND_H/W) ~ 5.7 deg at 320x256).
+Callers check `max_row_span` and fall back to the XLA gather path when
+exceeded, so results are always exact.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BAND_H = 16     # source rows per band
+ROW_BLOCK = 8   # output rows per grid step
+
+
+def build_plane_matrices(ref_pose, meas_pose, K, inv_depths):
+    """(P, 3, 3) pixel-warp matrices M_p: coords_p = M_p @ [x, y, 1]^T.
+
+    M_p = K R K^-1 + inv_depth_p * (K t) e3^T  — the loop-invariant
+    decomposition of the reference's per-plane homography
+    (dvmvs/utils.py:51-68). Unbatched (single ref/meas pair).
+    """
+    with jax.default_matmul_precision("highest"):
+        extrinsic = jnp.linalg.inv(meas_pose) @ ref_pose
+        R = extrinsic[:3, :3]
+        t = extrinsic[:3, 3:4]
+        Kt = K @ t  # (3, 1)
+        A = K @ R @ jnp.linalg.inv(K)  # (3, 3)
+    e3 = jnp.zeros((1, 3), A.dtype).at[0, 2].set(1.0)
+    return A[None, :, :] + inv_depths[:, None, None] * (Kt @ e3)[None]
+
+
+def _kernel(params_ref, ref_ref, meas_ref, out_ref, *, H, W, C, inv_channels):
+    p = pl.program_id(0)
+    rb = pl.program_id(1)
+
+    xw = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1).astype(jnp.float32)   # pixel x
+    jw = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0).astype(jnp.float32)   # (j, x)
+
+    m00 = params_ref[p * 9 + 0]
+    m01 = params_ref[p * 9 + 1]
+    m02 = params_ref[p * 9 + 2]
+    m10 = params_ref[p * 9 + 3]
+    m11 = params_ref[p * 9 + 4]
+    m12 = params_ref[p * 9 + 5]
+    m20 = params_ref[p * 9 + 6]
+    m21 = params_ref[p * 9 + 7]
+    m22 = params_ref[p * 9 + 8]
+
+    x_scale = (W - 1.0) / W  # reference W/2-normalizer + align_corners fold
+    y_scale = (H - 1.0) / H
+
+    for r in range(ROW_BLOCK):
+        y = (rb * ROW_BLOCK + r).astype(jnp.float32)
+        den = m20 * xw + m21 * y + m22 + 1e-8          # (1, W)
+        xs = (m00 * xw + m01 * y + m02) / den * x_scale
+        ys = (m10 * xw + m11 * y + m12) / den * y_scale
+
+        # Only in-bounds samples need band coverage (out-of-bounds rows get
+        # zero hat weight regardless); sentinel H keeps floor() finite.
+        in_bounds = (ys > -1.0) & (ys < jnp.float32(H))
+        ys_in = jnp.where(in_bounds, ys, jnp.float32(H))
+        lo = jnp.clip(jnp.floor(jnp.min(ys_in)), 0, H - BAND_H).astype(jnp.int32)
+
+        # hat matrix over source columns: (j, x_out)
+        hatx = jnp.maximum(0.0, 1.0 - jnp.abs(xs - jw))  # (W_in, W_out)
+
+        ky = lo.astype(jnp.float32) + jax.lax.broadcasted_iota(
+            jnp.int32, (BAND_H, 1), 0).astype(jnp.float32)   # (Bh, 1)
+        haty = jnp.maximum(0.0, 1.0 - jnp.abs(ys - ky))      # (Bh, W_out)
+
+        warped = jnp.zeros((C, W), jnp.float32)
+        for k in range(BAND_H):
+            row = meas_ref[lo + k, :, :]  # (C, W_in)
+            # xint_k[c, x_out] = sum_j row[c, j] * hatx[j, x_out]
+            xint_k = jax.lax.dot_general(
+                row, hatx,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (C, W_out)
+            warped = warped + haty[k:k + 1, :] * xint_k
+
+        cost = jnp.sum(ref_ref[r] * warped, axis=0, keepdims=True)  # (1, W)
+        out_ref[0, pl.ds(r, 1), :] = cost * inv_channels
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_plane_sweep(ref_feat, meas_feat, plane_matrices, interpret: bool = False):
+    """Cost volume for one (ref, meas) pair, all planes.
+
+    ref_feat/meas_feat: (H, W, C) f32 NHWC; plane_matrices: (P, 3, 3).
+    Returns (P, H, W) dot-product cost.
+    """
+    H, W, C = ref_feat.shape
+    P = plane_matrices.shape[0]
+    assert H % ROW_BLOCK == 0
+
+    ref_hcw = jnp.swapaxes(ref_feat, 1, 2)    # (H, C, W)
+    meas_hcw = jnp.swapaxes(meas_feat, 1, 2)  # (H, C, W)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(P, H // ROW_BLOCK),
+        in_specs=[
+            pl.BlockSpec((ROW_BLOCK, C, W), lambda p, rb, *_: (rb, 0, 0),
+                         memory_space=pltpu.VMEM),   # ref rows for this block
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # meas: full, band-sliced
+        ],
+        out_specs=pl.BlockSpec(
+            (1, ROW_BLOCK, W), lambda p, rb, *_: (p, rb, 0),
+            memory_space=pltpu.VMEM),
+    )
+
+    kernel = functools.partial(_kernel, H=H, W=W, C=C, inv_channels=1.0 / C)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((P, H, W), jnp.float32),
+        interpret=interpret,
+    )(plane_matrices.reshape(-1), ref_hcw, meas_hcw)
+
+
+def max_row_span(plane_matrices, H: int, W: int):
+    """Max rows of band coverage any (plane, row) needs. The Pallas kernel
+    is exact iff this is <= BAND_H; only in-bounds samples count (mirrors
+    the kernel's masked band minimum)."""
+    x = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+    y = jnp.arange(H, dtype=jnp.float32)[None, :, None]
+    M = plane_matrices
+    den = M[:, None, None, 2, 0] * x + M[:, None, None, 2, 1] * y + M[:, None, None, 2, 2] + 1e-8
+    ys = (M[:, None, None, 1, 0] * x + M[:, None, None, 1, 1] * y + M[:, None, None, 1, 2]) / den
+    ys = ys * (H - 1.0) / H
+    in_bounds = (ys > -1.0) & (ys < jnp.float32(H))
+    ys_in = jnp.where(in_bounds, ys, jnp.float32(H))
+    lo = jnp.clip(jnp.floor(jnp.min(ys_in, axis=-1)), 0, H - BAND_H)
+    ys_hi = jnp.where(in_bounds, ys, -1.0)
+    hi = jnp.clip(jnp.floor(jnp.max(ys_hi, axis=-1)) + 1.0, 0, H - 1)
+    return jnp.max(hi - lo) + 1.0

@@ -10,6 +10,10 @@ import jax
 def setup_jax(cache_dir: str = None):
     """Enable the persistent compilation cache (remote TPU compiles here run
     60-120 s; the cache makes driver restarts fast)."""
+    if os.environ.get("DVMVS_FORCE_CPU") == "1":
+        # the sandbox sitecustomize pins jax_platforms to the remote TPU;
+        # this knob forces the host platform (smoke tests, CI)
+        jax.config.update("jax_platforms", "cpu")
     cache_dir = cache_dir or os.environ.get(
         "DVMVS_TPU_JAX_CACHE", os.path.expanduser("~/.cache/dvmvs_tpu_jax")
     )

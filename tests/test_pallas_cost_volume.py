@@ -1,0 +1,86 @@
+"""Pallas plane-sweep kernel conformance (interpret mode, CPU)."""
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+import jax.numpy as jnp
+
+from dvmvs_tpu.ops.cost_volume import (
+    inverse_depth_planes,
+    plane_sweep_cost_volume,
+)
+from dvmvs_tpu.ops.pallas.cost_volume_kernel import (
+    BAND_H,
+    build_plane_matrices,
+    max_row_span,
+    pallas_plane_sweep,
+)
+
+H, W, C, P = 32, 64, 8, 16
+
+
+def _pose(euler_deg, t):
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, :3] = Rotation.from_euler("xyz", euler_deg, degrees=True).as_matrix()
+    pose[:3, 3] = t
+    return pose
+
+
+def _K():
+    return np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]], np.float32)
+
+
+@pytest.mark.parametrize(
+    "euler,t",
+    [
+        ([0, 0, 0], [0.12, 0.0, 0.0]),       # pure lateral baseline
+        ([2, 3, 1], [0.12, 0.03, 0.02]),     # typical keyframe motion
+        ([0, 0, 4], [0.05, 0.0, 0.1]),       # roll + forward
+    ],
+)
+def test_kernel_matches_gather_reference(rng, euler, t):
+    ref = rng.randn(H, W, C).astype(np.float32)
+    meas = rng.randn(H, W, C).astype(np.float32)
+    pose1 = np.eye(4, dtype=np.float32)
+    pose2 = _pose(euler, t)
+    invd = inverse_depth_planes(0.25, 20.0, P)
+    M = build_plane_matrices(
+        jnp.asarray(pose1), jnp.asarray(pose2), jnp.asarray(_K()), invd)
+    assert float(max_row_span(M, H, W)) <= BAND_H
+
+    got = pallas_plane_sweep(jnp.asarray(ref), jnp.asarray(meas), M, interpret=True)
+    want = plane_sweep_cost_volume(
+        jnp.asarray(ref)[None], jnp.asarray(meas)[None],
+        jnp.asarray(pose1)[None], jnp.asarray(pose2)[None],
+        jnp.asarray(_K())[None], 0.25, 20.0, P, plane_chunk=4,
+    )[0].transpose(2, 0, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4)
+
+
+def test_span_check_flags_extreme_roll():
+    pose1 = np.eye(4, dtype=np.float32)
+    pose2 = _pose([0, 0, 35], [0.1, 0, 0])  # 35-degree roll
+    invd = inverse_depth_planes(0.25, 20.0, P)
+    M = build_plane_matrices(
+        jnp.asarray(pose1), jnp.asarray(pose2), jnp.asarray(_K()), invd)
+    assert float(max_row_span(M, H, W)) > BAND_H
+
+
+def test_plane_matrices_reproduce_reference_warp():
+    """M_p @ [x,y,1] must equal K_R_Kinv uv + Kt/depth (dvmvs/utils.py:68)."""
+    pose1 = np.eye(4, dtype=np.float32)
+    pose2 = _pose([1, 2, 0.5], [0.1, 0.02, 0.01])
+    K = _K()
+    invd = np.asarray(inverse_depth_planes(0.25, 20.0, P))
+    M = np.asarray(build_plane_matrices(
+        jnp.asarray(pose1), jnp.asarray(pose2), jnp.asarray(K), jnp.asarray(invd)))
+
+    ext = np.linalg.inv(pose2) @ pose1
+    A = K @ ext[:3, :3] @ np.linalg.inv(K)
+    Kt = K @ ext[:3, 3:4]
+    uv = np.array([[13.0], [7.0], [1.0]], np.float32)
+    for p in range(0, P, 5):
+        want = A @ uv + Kt * invd[p]
+        got = M[p] @ uv
+        np.testing.assert_allclose(got, want, rtol=1e-4)

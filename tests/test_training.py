@@ -1,0 +1,140 @@
+"""Training step tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dvmvs_tpu.models.fusionnet import FusionNet
+from dvmvs_tpu.models.pairnet import PairNet
+from dvmvs_tpu.models.training_heads import fusionnet_train_sequence
+from dvmvs_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from dvmvs_tpu.parallel.train import (
+    FUSIONNET_STAGES,
+    PAIRNET_STAGES,
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+    stage_parameter_mask,
+)
+from tests.conftest import random_pose
+
+H = W = 64
+S = 3
+
+
+def _batch(rng, B):
+    poses = np.stack(
+        [[random_pose(rng, 0.05) for _ in range(S)] for _ in range(B)]
+    ).astype(np.float32)
+    K = np.array([[30.0, 0, W / 2], [0, 30.0, H / 2], [0, 0, 1]], np.float32)
+    return {
+        "images": jnp.asarray(rng.randn(B, S, H, W, 3).astype(np.float32) * 0.1),
+        "depths": jnp.asarray(rng.uniform(0.5, 8.0, (B, S, H, W)).astype(np.float32)),
+        "poses": jnp.asarray(poses),
+        "K": jnp.asarray(np.stack([K] * B)),
+    }
+
+
+@pytest.fixture(scope="module")
+def fusion_setup():
+    model = FusionNet()
+    rng = np.random.RandomState(0)
+    batch = _batch(rng, 2)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        batch["images"], batch["depths"], batch["poses"], batch["K"],
+        method=fusionnet_train_sequence,
+    )
+    return model, variables, batch
+
+
+def test_fusionnet_train_sequence_shapes(fusion_setup):
+    model, variables, batch = fusion_setup
+    preds, mutated = model.apply(
+        variables, batch["images"], batch["depths"], batch["poses"], batch["K"],
+        method=fusionnet_train_sequence, mutable=["batch_stats"],
+    )
+    assert len(preds) == 5
+    assert preds[0].shape == (S - 1, 2, H, W)  # full res
+    assert preds[4].shape == (S - 1, 2, H // 16, W // 16)
+    # batch stats must actually update in train mode
+    old = jax.tree.leaves(variables["batch_stats"])[0]
+    new = jax.tree.leaves(mutated["batch_stats"])[0]
+    assert float(jnp.abs(old - new).max()) > 0
+
+
+def test_fusionnet_loss_decreases(fusion_setup):
+    model, variables, batch = fusion_setup
+    tx = make_optimizer(variables["params"], FUSIONNET_STAGES[2], learning_rate=1e-3)
+    state = create_train_state(variables, tx)
+    step = make_train_step(model, tx, kind="fusionnet", donate=False)
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(6):
+        state, metrics = step(state, batch, rng)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+
+
+def test_stage_mask_freezes_modules(fusion_setup):
+    model, variables, batch = fusion_setup
+    tx = make_optimizer(variables["params"], FUSIONNET_STAGES[0])
+    state = create_train_state(variables, tx)
+    step = make_train_step(model, tx, kind="fusionnet", donate=False)
+    state2, _ = step(state, batch, jax.random.PRNGKey(0))
+    fe_before = jax.tree.leaves(state.params["feature_extractor"])[0]
+    fe_after = jax.tree.leaves(state2.params["feature_extractor"])[0]
+    np.testing.assert_array_equal(np.asarray(fe_before), np.asarray(fe_after))
+    dec_before = jax.tree.leaves(state.params["cost_volume_decoder"])[0]
+    dec_after = jax.tree.leaves(state2.params["cost_volume_decoder"])[0]
+    assert float(jnp.abs(dec_before - dec_after).max()) > 0
+
+
+def test_fusionnet_train_step_on_8_device_mesh(fusion_setup):
+    model, variables, _ = fusion_setup
+    mesh = make_mesh()
+    assert mesh.size == 8
+    rng = np.random.RandomState(1)
+    batch = _batch(rng, 8)
+    batch = jax.device_put(batch, batch_sharding(mesh))
+
+    tx = make_optimizer(variables["params"], FUSIONNET_STAGES[2])
+    state = create_train_state(variables, tx)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    step = make_train_step(model, tx, mesh=mesh, kind="fusionnet", donate=False)
+    state2, metrics = step(state, batch, jax.device_put(jax.random.PRNGKey(0), replicated_sharding(mesh)))
+    assert np.isfinite(float(metrics["loss"]))
+    # updated params stay replicated
+    leaf = jax.tree.leaves(state2.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_pairnet_train_step(rng):
+    model = PairNet()
+    B = 2
+    poses = np.stack(
+        [[random_pose(rng, 0.05) for _ in range(2)] for _ in range(B)]
+    ).astype(np.float32)
+    K = np.array([[30.0, 0, W / 2], [0, 30.0, H / 2], [0, 0, 1]], np.float32)
+    batch = {
+        "images": jnp.asarray(rng.randn(B, 2, H, W, 3).astype(np.float32) * 0.1),
+        "depths": jnp.asarray(rng.uniform(0.5, 8.0, (B, 2, H, W)).astype(np.float32)),
+        "poses": jnp.asarray(poses),
+        "K": jnp.asarray(np.stack([K] * B)),
+    }
+    from dvmvs_tpu.models.training_heads import pairnet_train_pair
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["images"], batch["depths"], batch["poses"],
+        batch["K"], jnp.zeros((2,), bool), method=pairnet_train_pair,
+    )
+    tx = make_optimizer(variables["params"], PAIRNET_STAGES[1], learning_rate=1e-3)
+    state = create_train_state(variables, tx)
+    step = make_train_step(model, tx, kind="pairnet", two_way=True, donate=False)
+    losses = []
+    for i in range(4):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
