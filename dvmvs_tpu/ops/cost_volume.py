@@ -176,7 +176,7 @@ def cost_volume_fused(
 
     use_pallas = (
         method == "pallas"
-        or (method == "auto" and dot_product and jax.default_backend() == "tpu")
+        or (method == "auto" and jax.default_backend() == "tpu")
     )
     if not use_pallas:
         return _gather_fused(
@@ -186,6 +186,7 @@ def cost_volume_fused(
 
     from dvmvs_tpu.ops.pallas.cost_volume_kernel import (
         BAND_H,
+        BAND_H_SMALL,
         build_plane_matrices,
         max_row_span,
         pallas_plane_sweep,
@@ -196,19 +197,25 @@ def cost_volume_fused(
         jax.vmap(build_plane_matrices, in_axes=(None, 0, None, None)),
         in_axes=(0, 0, 0, None),
     )(ref_pose, meas_poses, K, inv_depths)  # (B, V, P, 3, 3)
-    span = jnp.max(jax.vmap(jax.vmap(lambda m: max_row_span(m, H, W)))(Ms))
+    span_small = jnp.max(jax.vmap(jax.vmap(
+        lambda m: max_row_span(m, H, W, BAND_H_SMALL)))(Ms))
+    span_big = jnp.max(jax.vmap(jax.vmap(
+        lambda m: max_row_span(m, H, W, BAND_H)))(Ms))
 
-    def pallas_branch():
-        flat_ref = jnp.repeat(ref_feat[:, None], V, axis=1).reshape(B * V, H, W, -1)
-        flat_meas = meas_feats.reshape((B * V,) + meas_feats.shape[2:])
-        flat_M = Ms.reshape(B * V, n_depth_levels, 3, 3)
-        cvs = jax.lax.map(
-            lambda t: pallas_plane_sweep(t[0], t[1], t[2]),
-            (flat_ref, flat_meas, flat_M),
-        )  # (B*V, P, H, W)
-        per_view = cvs.reshape(B, V, n_depth_levels, H, W)
-        per_view = per_view.transpose(1, 0, 3, 4, 2)  # (V, B, H, W, P)
-        return _masked_view_mean(per_view, view_mask)
+    def pallas_branch(band_h):
+        def branch():
+            flat_ref = jnp.repeat(ref_feat[:, None], V, axis=1).reshape(B * V, H, W, -1)
+            flat_meas = meas_feats.reshape((B * V,) + meas_feats.shape[2:])
+            flat_M = Ms.reshape(B * V, n_depth_levels, 3, 3)
+            cvs = jax.lax.map(
+                lambda t: pallas_plane_sweep(t[0], t[1], t[2], band_h=band_h,
+                                             dot_product=dot_product),
+                (flat_ref, flat_meas, flat_M),
+            )  # (B*V, P, H, W)
+            per_view = cvs.reshape(B, V, n_depth_levels, H, W)
+            per_view = per_view.transpose(1, 0, 3, 4, 2)  # (V, B, H, W, P)
+            return _masked_view_mean(per_view, view_mask)
+        return branch
 
     def gather_branch():
         return _gather_fused(
@@ -216,4 +223,10 @@ def cost_volume_fused(
             min_depth, max_depth, n_depth_levels, dot_product, view_mask,
             plane_chunk)
 
-    return jax.lax.cond(span <= BAND_H, pallas_branch, gather_branch)
+    # Pick the cheapest exact implementation for this frame's geometry:
+    # small band (translation-dominated, the common case) -> big band
+    # (moderate roll) -> gather fallback (extreme rotation).
+    index = jnp.where(span_small <= BAND_H_SMALL, 0,
+                      jnp.where(span_big <= BAND_H, 1, 2))
+    return jax.lax.switch(
+        index, [pallas_branch(BAND_H_SMALL), pallas_branch(BAND_H), gather_branch])

@@ -40,8 +40,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BAND_H = 16     # source rows per band
-ROW_BLOCK = 8   # output rows per grid step
+BAND_H = 16       # default source rows per band (max supported roll)
+BAND_H_SMALL = 8  # fast-path band for translation-dominated motion
+ROW_BLOCK = 8     # output rows per grid step
 
 
 def build_plane_matrices(ref_pose, meas_pose, K, inv_depths):
@@ -61,7 +62,8 @@ def build_plane_matrices(ref_pose, meas_pose, K, inv_depths):
     return A[None, :, :] + inv_depths[:, None, None] * (Kt @ e3)[None]
 
 
-def _kernel(params_ref, ref_ref, meas_ref, out_ref, *, H, W, C, inv_channels):
+def _kernel(params_ref, ref_ref, meas_ref, out_ref, *, H, W, C, inv_channels, band_h,
+            dot_product):
     p = pl.program_id(0)
     rb = pl.program_id(1)
 
@@ -91,32 +93,41 @@ def _kernel(params_ref, ref_ref, meas_ref, out_ref, *, H, W, C, inv_channels):
         # zero hat weight regardless); sentinel H keeps floor() finite.
         in_bounds = (ys > -1.0) & (ys < jnp.float32(H))
         ys_in = jnp.where(in_bounds, ys, jnp.float32(H))
-        lo = jnp.clip(jnp.floor(jnp.min(ys_in)), 0, H - BAND_H).astype(jnp.int32)
+        lo = jnp.clip(jnp.floor(jnp.min(ys_in)), 0, H - band_h).astype(jnp.int32)
 
         # hat matrix over source columns: (j, x_out)
         hatx = jnp.maximum(0.0, 1.0 - jnp.abs(xs - jw))  # (W_in, W_out)
 
         ky = lo.astype(jnp.float32) + jax.lax.broadcasted_iota(
-            jnp.int32, (BAND_H, 1), 0).astype(jnp.float32)   # (Bh, 1)
+            jnp.int32, (band_h, 1), 0).astype(jnp.float32)   # (Bh, 1)
         haty = jnp.maximum(0.0, 1.0 - jnp.abs(ys - ky))      # (Bh, W_out)
 
+        # meas is stored pre-flattened (H*C, W), so the band slice is already
+        # the 2-D matmul operand — one (Bh*C, W_in) @ (W_in, W_out) MXU op
+        # per row. (An in-kernel (Bh,C,W)->(Bh*C,W) reshape miscompiles in
+        # Mosaic for >128-lane tiles, hence the host-side layout.)
+        start = pl.multiple_of(lo * C, 8)  # C is padded to a multiple of 8
+        band = meas_ref[pl.ds(start, band_h * C), :]         # (Bh*C, W_in)
+        xint = jax.lax.dot_general(
+            band, hatx,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Bh*C, W_out)
+
         warped = jnp.zeros((C, W), jnp.float32)
-        for k in range(BAND_H):
-            row = meas_ref[lo + k, :, :]  # (C, W_in)
-            # xint_k[c, x_out] = sum_j row[c, j] * hatx[j, x_out]
-            xint_k = jax.lax.dot_general(
-                row, hatx,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (C, W_out)
-            warped = warped + haty[k:k + 1, :] * xint_k
+        for k in range(band_h):
+            warped = warped + haty[k:k + 1, :] * xint[k * C:(k + 1) * C, :]
 
-        cost = jnp.sum(ref_ref[r] * warped, axis=0, keepdims=True)  # (1, W)
-        out_ref[0, pl.ds(r, 1), :] = cost * inv_channels
+        if dot_product:
+            cost = jnp.sum(ref_ref[r] * warped, axis=0, keepdims=True) * inv_channels
+        else:  # L1 mode (MVDepthNet/GPMVS, dvmvs/utils.py:84)
+            cost = jnp.sum(jnp.abs(ref_ref[r] - warped), axis=0, keepdims=True)
+        out_ref[0, pl.ds(r, 1), :] = cost  # (1, W)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def pallas_plane_sweep(ref_feat, meas_feat, plane_matrices, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "band_h", "dot_product"))
+def pallas_plane_sweep(ref_feat, meas_feat, plane_matrices, interpret: bool = False,
+                       band_h: int = BAND_H, dot_product: bool = True):
     """Cost volume for one (ref, meas) pair, all planes.
 
     ref_feat/meas_feat: (H, W, C) f32 NHWC; plane_matrices: (P, 3, 3).
@@ -126,8 +137,21 @@ def pallas_plane_sweep(ref_feat, meas_feat, plane_matrices, interpret: bool = Fa
     P = plane_matrices.shape[0]
     assert H % ROW_BLOCK == 0
 
+    # Pad channels to a multiple of the f32 sublane tile (8) so the dynamic
+    # band start lo*C is provably aligned; zero channels contribute nothing
+    # to either the dot product or the L1 reduction.
+    if C % 8 != 0:
+        pad = 8 - C % 8
+        zeros = jnp.zeros(ref_feat.shape[:2] + (pad,), ref_feat.dtype)
+        n_real = C
+        ref_feat = jnp.concatenate([ref_feat, zeros], axis=-1)
+        meas_feat = jnp.concatenate([meas_feat, zeros], axis=-1)
+        C = C + pad
+    else:
+        n_real = C
+
     ref_hcw = jnp.swapaxes(ref_feat, 1, 2)    # (H, C, W)
-    meas_hcw = jnp.swapaxes(meas_feat, 1, 2)  # (H, C, W)
+    meas_flat = jnp.swapaxes(meas_feat, 1, 2).reshape(H * C, W)  # (H*C, W)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -142,20 +166,21 @@ def pallas_plane_sweep(ref_feat, meas_feat, plane_matrices, interpret: bool = Fa
             memory_space=pltpu.VMEM),
     )
 
-    kernel = functools.partial(_kernel, H=H, W=W, C=C, inv_channels=1.0 / C)
+    kernel = functools.partial(_kernel, H=H, W=W, C=C, inv_channels=1.0 / n_real,
+                               band_h=band_h, dot_product=dot_product)
 
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((P, H, W), jnp.float32),
         interpret=interpret,
-    )(plane_matrices.reshape(-1), ref_hcw, meas_hcw)
+    )(plane_matrices.reshape(-1), ref_hcw, meas_flat)
 
 
-def max_row_span(plane_matrices, H: int, W: int):
+def max_row_span(plane_matrices, H: int, W: int, band_h: int = BAND_H):
     """Max rows of band coverage any (plane, row) needs. The Pallas kernel
-    is exact iff this is <= BAND_H; only in-bounds samples count (mirrors
-    the kernel's masked band minimum)."""
+    with band ``band_h`` is exact iff this is <= band_h; only in-bounds
+    samples count (mirrors the kernel's masked band minimum)."""
     x = jnp.arange(W, dtype=jnp.float32)[None, None, :]
     y = jnp.arange(H, dtype=jnp.float32)[None, :, None]
     M = plane_matrices
@@ -164,7 +189,7 @@ def max_row_span(plane_matrices, H: int, W: int):
     ys = ys * (H - 1.0) / H
     in_bounds = (ys > -1.0) & (ys < jnp.float32(H))
     ys_in = jnp.where(in_bounds, ys, jnp.float32(H))
-    lo = jnp.clip(jnp.floor(jnp.min(ys_in, axis=-1)), 0, H - BAND_H)
+    lo = jnp.clip(jnp.floor(jnp.min(ys_in, axis=-1)), 0, H - band_h)
     ys_hi = jnp.where(in_bounds, ys, -1.0)
     hi = jnp.clip(jnp.floor(jnp.max(ys_hi, axis=-1)) + 1.0, 0, H - 1)
     return jnp.max(hi - lo) + 1.0
