@@ -14,6 +14,7 @@ from dvmvs_tpu.baselines.registry import BASELINE_REGISTRY
 import dvmvs_tpu.baselines.mvdepthnet  # noqa: F401  (registry population)
 import dvmvs_tpu.baselines.gpmvs  # noqa: F401
 import dvmvs_tpu.baselines.dpsnet  # noqa: F401
+import dvmvs_tpu.baselines.deltas  # noqa: F401
 from dvmvs_tpu.data.io import load_depth_png, load_image
 from dvmvs_tpu.data.preprocess import PreprocessImage
 from dvmvs_tpu.utils.results import InferenceTimer, save_results
@@ -88,7 +89,7 @@ def main():
 
     setup_jax()
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--baseline", choices=sorted(BASELINE_REGISTRY), required=True)
+    ap.add_argument("--baseline", choices=["mvdepthnet", "gpmvs", "dpsnet", "deltas"], required=True)
     ap.add_argument("--data", required=True)
     ap.add_argument("--dataset-name", default=None)
     ap.add_argument("--checkpoint", default=None)

@@ -34,6 +34,7 @@ from dvmvs_tpu.parallel.train import (
 )
 from dvmvs_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 from dvmvs_tpu.utils.losses import LossMeter
+from dvmvs_tpu.utils.run_logging import RunLogger, snapshot_code
 
 
 def init_variables(model, kind: str, cfg: TrainConfig, rng_seed: int = 0):
@@ -63,7 +64,7 @@ def init_variables(model, kind: str, cfg: TrainConfig, rng_seed: int = 0):
 
 
 def run_epoch(step_fn, state, dataset, cfg, mesh, seed, kind, print_frequency=100,
-              max_steps=None):
+              max_steps=None, logger=None):
     meter = LossMeter()
     data_sh = batch_sharding(mesh)
     it = device_prefetch(
@@ -83,6 +84,9 @@ def run_epoch(step_fn, state, dataset, cfg, mesh, seed, kind, print_frequency=10
             rate = n * cfg.batch_size / (time.time() - t0)
             print(f"  step {n}: loss {loss:.4f} ({meter.avg:.4f} avg) {rate:.1f} samples/s",
                   flush=True)
+            if logger is not None:
+                logger.log(int(state.step), "train", {
+                    "loss": loss, "samples_per_s": rate})
     return state, meter
 
 
@@ -115,7 +119,18 @@ def main():
     ap.add_argument("--subsequence-length", type=int, default=None)
     ap.add_argument("--max-steps", type=int, default=None,
                     help="cap optimizer steps per epoch (smoke tests)")
+    ap.add_argument("--freeze-bn", action="store_true",
+                    help="freeze BatchNorm (running stats, no updates)")
+    ap.add_argument("--resume", default=None,
+                    help="full-state checkpoint (.state.msgpack) to resume from")
+    ap.add_argument("--multihost", action="store_true",
+                    help="initialize jax.distributed (multi-host training; "
+                         "same pjit program, grads all-reduce over ICI/DCN)")
     args = ap.parse_args()
+
+    if args.multihost:
+        jax.distributed.initialize()
+        print(f"distributed: process {jax.process_index()}/{jax.process_count()}")
 
     kind = args.model
     overrides = dict(
@@ -150,23 +165,42 @@ def main():
     mesh = make_mesh(args.n_devices)
     print(f"mesh: {mesh.size} device(s)")
 
+    logger = RunLogger(run_dir)
+    snapshot_code(run_dir)
+
     stages = FUSIONNET_STAGES if kind == "fusionnet" else PAIRNET_STAGES
     two_way = kind == "pairnet" and cfg.predict_two_way
 
     best_loss = [np.inf] * 4
     state = None
     epoch = 0
+    resume_stage = 0
+    if args.resume:
+        import json
+        with open(args.resume + ".meta.json") as f:
+            meta = json.load(f)
+        epoch, resume_stage = meta["epoch"], meta["stage"]
+        best_loss = meta.get("best_loss", best_loss)
+        print(f"resuming from {args.resume}: epoch {epoch}, stage {resume_stage}")
+
     for stage_i, modules in enumerate(stages):
+        if stage_i < resume_stage:
+            continue
         tx = make_optimizer(
             variables["params"], modules, cfg.learning_rate,
             cfg.adam_beta1, cfg.adam_beta2, cfg.weight_decay)
         if state is None:
             state = create_train_state(variables, tx)
+            if args.resume and stage_i == resume_stage:
+                import flax.serialization
+                with open(args.resume, "rb") as f:
+                    state = flax.serialization.from_bytes(state, f.read())
         else:
             state = TrainState(state.step, state.params, state.batch_stats,
                                tx.init(state.params))
         state = jax.device_put(state, replicated_sharding(mesh))
-        step_fn = make_train_step(model, tx, mesh=mesh, kind=kind, two_way=two_way)
+        step_fn = make_train_step(model, tx, mesh=mesh, kind=kind, two_way=two_way,
+                                  freeze_bn=args.freeze_bn or cfg.freeze_batch_normalization)
         eval_fn = make_eval_step(model, kind=kind)
 
         last_stage = stage_i == len(stages) - 1
@@ -176,10 +210,12 @@ def main():
             state, meter = run_epoch(step_fn, state, train_set, cfg, mesh,
                                      args.seed + epoch, kind,
                                      print_frequency=2 if args.max_steps else 100,
-                                     max_steps=args.max_steps)
+                                     max_steps=args.max_steps, logger=logger)
             losses = validate(eval_fn, state, val_set, cfg)
             print(f"  validation l1/l1-inv/l1-rel/huber: "
                   + " ".join(f"{l:.4f}" for l in losses))
+            logger.log(int(state.step), "validation", dict(
+                zip(("l1", "l1_inv", "l1_rel", "huber"), losses)))
             if any(l < b for l, b in zip(losses, best_loss)):
                 best_loss = [min(l, b) for l, b in zip(losses, best_loss)]
                 ckpt = os.path.join(run_dir, f"{kind}_epoch{epoch}.msgpack")
@@ -188,6 +224,15 @@ def main():
                     "batch_stats": jax.device_get(state.batch_stats),
                 })
                 print("  saved", ckpt)
+            # full training state (incl. optimizer) for resume
+            import flax.serialization
+            import json
+            state_path = os.path.join(run_dir, f"{kind}_latest.state.msgpack")
+            with open(state_path, "wb") as f:
+                f.write(flax.serialization.to_bytes(jax.device_get(state)))
+            with open(state_path + ".meta.json", "w") as f:
+                json.dump({"epoch": epoch + 1, "stage": stage_i,
+                           "best_loss": [float(b) for b in best_loss]}, f)
             epoch += 1
         variables = {"params": state.params, "batch_stats": state.batch_stats}
 

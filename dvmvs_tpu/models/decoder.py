@@ -62,9 +62,11 @@ class CostVolumeDecoder(nn.Module):
         combined = ConvBnRelu(hc, 5, 1, True, self.dtype, name="refine1")(combined, train)
         inv_full = inv_mult * DepthHead(self.dtype, name="depth_layer_full")(combined) + inv_base
 
-        depth_full = (1.0 / inv_full)[..., 0]
-        depth_half = (1.0 / inv_half)[..., 0]
-        depth_quarter = (1.0 / inv_quarter)[..., 0]
-        depth_one_eight = (1.0 / inv_one_eight)[..., 0]
-        depth_one_sixteen = (1.0 / inv_one_sixteen)[..., 0]
+        # metric depths always leave the network in f32 (consumers: losses,
+        # metrics, splat geometry), regardless of the compute dtype
+        depth_full = (1.0 / inv_full.astype(jnp.float32))[..., 0]
+        depth_half = (1.0 / inv_half.astype(jnp.float32))[..., 0]
+        depth_quarter = (1.0 / inv_quarter.astype(jnp.float32))[..., 0]
+        depth_one_eight = (1.0 / inv_one_eight.astype(jnp.float32))[..., 0]
+        depth_one_sixteen = (1.0 / inv_one_sixteen.astype(jnp.float32))[..., 0]
         return depth_full, depth_half, depth_quarter, depth_one_eight, depth_one_sixteen

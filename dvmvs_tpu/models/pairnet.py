@@ -75,11 +75,14 @@ class PairNet(nn.Module):
         f_half, f_quarter, f_one_eight, f_one_sixteen = ref_features
         half_K = scale_intrinsics(K, 0.5)
 
+        # The plane-sweep kernel runs in f32 regardless of the model's
+        # compute dtype (sampling weights need f32); cast at the boundary.
         cost_volume = cost_volume_fused(
-            f_half, meas_feature_half, ref_pose, meas_poses, half_K,
+            f_half.astype(jnp.float32), meas_feature_half.astype(jnp.float32),
+            ref_pose, meas_poses, half_K,
             self.min_depth, self.max_depth, self.n_depth_levels,
             dot_product=True, view_mask=view_mask,
-        )
+        ).astype(self.dtype)
         skip0, skip1, skip2, skip3, bottom = self.cost_volume_encoder(
             f_half, f_quarter, f_one_eight, f_one_sixteen, cost_volume, train)
         return self.cost_volume_decoder(

@@ -33,12 +33,12 @@ from dvmvs_tpu.ops.cost_volume import plane_sweep_cost_volume
 from dvmvs_tpu.ops.sampling import resize_nearest
 
 
-def fusionnet_train_sequence(self, images, depths, poses, K):
+def fusionnet_train_sequence(self, images, depths, poses, K, bn_train: bool = True):
     """BPTT forward. images (B,S,H,W,3), depths (B,S,H,W), poses (B,S,4,4),
     K (B,3,3) full-res. Returns 5 stacked prediction scales, each
     (S-1, B, h, w), for frames 1..S-1."""
     B, S, H, W, _ = images.shape
-    feats = self.extract_features(images.reshape(B * S, H, W, 3), train=True)
+    feats = self.extract_features(images.reshape(B * S, H, W, 3), train=bn_train)
     f_half, f_quarter, f_one_eight, f_one_sixteen = (
         f.reshape((B, S) + f.shape[1:]) for f in feats
     )
@@ -70,11 +70,11 @@ def fusionnet_train_sequence(self, images, depths, poses, K):
         )
         skip0, skip1, skip2, skip3, bottom = mdl.cost_volume_encoder(
             x["ref_half"], x["ref_quarter"], x["ref_one_eight"],
-            x["ref_one_sixteen"], cv, True)
+            x["ref_one_sixteen"], cv, bn_train)
         h_w = warp_hidden_state(h, x["prev_pose"], x["pose"], x["hyp"], lstm_K)
         h2, c2 = mdl.lstm_fusion(bottom, h_w, c)
         preds = mdl.cost_volume_decoder(
-            x["image"], skip0, skip1, skip2, skip3, h2, True)
+            x["image"], skip0, skip1, skip2, skip3, h2, bn_train)
         return (h2, c2), preds
 
     hidden = self.hidden_channels
@@ -101,7 +101,8 @@ def fusionnet_train_sequence(self, images, depths, poses, K):
     return preds  # tuple of 5, each (S-1, B, h, w)
 
 
-def pairnet_train_pair(self, images, depths, poses, K, flip_mask, two_way: bool = False):
+def pairnet_train_pair(self, images, depths, poses, K, flip_mask,
+                       two_way: bool = False, bn_train: bool = True):
     """Pair training forward. images (B,2,H,W,3); flip_mask: (n_dirs,)
     booleans (one per direction) — flips features/cost volume/image/GT along
     width after the cost volume, like the reference's feature-level
@@ -109,7 +110,7 @@ def pairnet_train_pair(self, images, depths, poses, K, flip_mask, two_way: bool 
     direction."""
     B, S, H, W, _ = images.shape
     assert S == 2
-    feats = self.extract_features(images.reshape(B * S, H, W, 3), train=True)
+    feats = self.extract_features(images.reshape(B * S, H, W, 3), train=bn_train)
     f_half, f_quarter, f_one_eight, f_one_sixteen = (
         f.reshape((B, S) + f.shape[1:]) for f in feats
     )
@@ -136,7 +137,7 @@ def pairnet_train_pair(self, images, depths, poses, K, flip_mask, two_way: bool 
         cv = maybe_flip(cv)
 
         skip0, skip1, skip2, skip3, bottom = self.cost_volume_encoder(
-            fh, fq, fe, fs, cv, True)
-        preds = self.cost_volume_decoder(img, skip0, skip1, skip2, skip3, bottom, True)
+            fh, fq, fe, fs, cv, bn_train)
+        preds = self.cost_volume_decoder(img, skip0, skip1, skip2, skip3, bottom, bn_train)
         outputs.append((preds, gt))
     return outputs

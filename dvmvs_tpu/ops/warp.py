@@ -9,6 +9,12 @@
     ``index_put_`` (dvmvs/utils.py:110-154); here it is a single on-device
     scatter-max over linearized pixel ids — same tie-breaking (max z wins),
     no host transfer.
+  - ``splat_depth_soft``: DIFFERENTIABLE forward splat — the TPU-native
+    replacement for the reference's pytorch3d point-rasterizer alternative
+    (``get_differentiable_square_depth_estimation``, dvmvs/utils.py:157-202,
+    C++/CUDA rasterizer, radius 0.02, min-z over 3 points/pixel). Points are
+    splatted bilinearly to their 4 neighbor pixels with soft-min z weighting
+    (temperature tau), all via differentiable scatter-adds.
 """
 
 from __future__ import annotations
@@ -88,4 +94,70 @@ def splat_depth_max(
         return buf[:n_pix]
 
     out = jax.vmap(splat_one)(lin, z)
+    return out.reshape(B, out_height, out_width)
+
+
+def splat_depth_soft(
+    previous_depth: jnp.ndarray,
+    previous_pose: jnp.ndarray,
+    current_pose: jnp.ndarray,
+    full_K: jnp.ndarray,
+    half_K: jnp.ndarray,
+    out_height: int,
+    out_width: int,
+    tau: float = 0.05,
+) -> jnp.ndarray:
+    """Differentiable forward splat (soft z-buffer).
+
+    Same geometry as splat_depth_max, but each projected point contributes
+    to its 4 neighboring pixels with bilinear weights, and per-pixel depth is
+    the soft-min over contributions: exp(-z/tau)-weighted average. Gradients
+    flow to previous_depth and both poses. Returns (B, out_height, out_width);
+    unhit pixels are 0.
+    """
+    B = previous_depth.shape[0]
+    trans = jnp.linalg.inv(current_pose) @ previous_pose
+
+    points_prev = depth_to_3d(previous_depth, full_K)
+    points_cur = transform_points(trans, points_prev).reshape(B, -1, 3)
+    z = jax.nn.relu(points_cur[..., 2])
+    points_cur = jnp.concatenate([points_cur[..., :2], z[..., None]], axis=-1)
+    uv = project_points(points_cur, half_K)  # (B, N, 2) float
+
+    n_pix = out_height * out_width
+    x0 = jnp.floor(uv[..., 0])
+    y0 = jnp.floor(uv[..., 1])
+    fx = uv[..., 0] - x0
+    fy = uv[..., 1] - y0
+
+    corners = []
+    for dy, wy in ((0.0, 1.0 - fy), (1.0, fy)):
+        for dx, wx in ((0.0, 1.0 - fx), (1.0, fx)):
+            xi = x0 + dx
+            yi = y0 + dy
+            valid = (xi >= 0) & (yi >= 0) & (xi < out_width) & (yi < out_height) & (z > 0)
+            lin = jnp.where(valid, (yi * out_width + xi), n_pix).astype(jnp.int32)
+            corners.append((lin, wx * wy * valid))
+
+    # Pass 1 (stop-gradient): per-pixel nearest z, to stabilize the soft-min
+    # exponent (exp(-(z - zmin)/tau) instead of exp(-z/tau) which underflows).
+    zmin = jnp.full((B, n_pix + 1), jnp.inf, jnp.float32)
+    for lin, w in corners:
+        zsafe = jnp.where(w > 0, z, jnp.inf)
+        zmin = jax.vmap(lambda m, l, v: m.at[l].min(v))(zmin, lin, zsafe)
+    zmin = jax.lax.stop_gradient(zmin)
+
+    num = jnp.zeros((B, n_pix + 1), jnp.float32)
+    den = jnp.zeros((B, n_pix + 1), jnp.float32)
+    for lin, w in corners:
+        ref_z = jnp.take_along_axis(zmin, lin, axis=1)
+        ref_z = jnp.where(jnp.isfinite(ref_z), ref_z, 0.0)
+        # exponent <= 0 by construction (z >= per-pixel zmin); the clip kills
+        # inf/nan leaking through invalid (w=0) corners in the backward pass
+        expo = jnp.clip(-(z - ref_z) / tau, -60.0, 0.0)
+        sw = w * jnp.exp(expo)
+        num = jax.vmap(lambda n, l, v: n.at[l].add(v))(num, lin, sw * z)
+        den = jax.vmap(lambda d, l, v: d.at[l].add(v))(den, lin, sw)
+    out = num[:, :n_pix] / jnp.maximum(den[:, :n_pix], 1e-8)
+    out = out * (den[:, :n_pix] > 1e-8)
     return out.reshape(B, out_height, out_width)

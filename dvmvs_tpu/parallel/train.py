@@ -95,12 +95,13 @@ def _per_step_loss(preds: Sequence[jnp.ndarray], gt: jnp.ndarray, loss_type: str
     return total, metrics
 
 
-def fusionnet_loss_fn(params, batch_stats, model, batch, loss_type: str = "L1-inv"):
+def fusionnet_loss_fn(params, batch_stats, model, batch, loss_type: str = "L1-inv",
+                      bn_train: bool = True):
     """Loss over a subsequence batch: images (B,S,H,W,3), depths (B,S,H,W),
     poses (B,S,4,4), K (B,3,3)."""
     preds, mutated = model.apply(
         {"params": params, "batch_stats": batch_stats},
-        batch["images"], batch["depths"], batch["poses"], batch["K"],
+        batch["images"], batch["depths"], batch["poses"], batch["K"], bn_train,
         method=fusionnet_train_sequence, mutable=["batch_stats"],
     )
     S1 = preds[0].shape[0]
@@ -116,12 +117,14 @@ def fusionnet_loss_fn(params, batch_stats, model, batch, loss_type: str = "L1-in
 
 
 def pairnet_loss_fn(params, batch_stats, model, batch, flip_mask,
-                    loss_type: str = "L1-inv", two_way: bool = False):
+                    loss_type: str = "L1-inv", two_way: bool = False,
+                    bn_train: bool = True):
     outputs, mutated = model.apply(
         {"params": params, "batch_stats": batch_stats},
         batch["images"], batch["depths"], batch["poses"], batch["K"],
         flip_mask,
-        method=functools.partial(pairnet_train_pair, two_way=two_way),
+        method=functools.partial(pairnet_train_pair, two_way=two_way,
+                                 bn_train=bn_train),
         mutable=["batch_stats"],
     )
     total = 0.0
@@ -134,7 +137,7 @@ def pairnet_loss_fn(params, batch_stats, model, batch, flip_mask,
 
 def make_train_step(model, tx, mesh=None, kind: str = "fusionnet",
                     loss_type: str = "L1-inv", two_way: bool = False,
-                    donate: bool = True):
+                    donate: bool = True, freeze_bn: bool = False):
     """Build the jitted, sharded train step.
 
     Returns step(state, batch[, rng]) -> (state, metrics). With a mesh, the
@@ -144,14 +147,16 @@ def make_train_step(model, tx, mesh=None, kind: str = "fusionnet",
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
         if kind == "fusionnet":
             def lf(p):
-                return fusionnet_loss_fn(p, state.batch_stats, model, batch, loss_type)
+                return fusionnet_loss_fn(p, state.batch_stats, model, batch,
+                                         loss_type, bn_train=not freeze_bn)
         else:
             n_dirs = 2 if two_way else 1
             flip_mask = jax.random.uniform(rng, (n_dirs,)) > 0.5
 
             def lf(p):
                 return pairnet_loss_fn(p, state.batch_stats, model, batch,
-                                       flip_mask, loss_type, two_way)
+                                       flip_mask, loss_type, two_way,
+                                       bn_train=not freeze_bn)
 
         (loss, (new_stats, metrics)), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
@@ -177,14 +182,16 @@ def make_train_step(model, tx, mesh=None, kind: str = "fusionnet",
 def make_eval_step(model, kind: str = "fusionnet", loss_type: str = "L1-inv",
                    mesh=None):
     def step(state: TrainState, batch):
+        # validation runs with BN in eval mode (running stats), like the
+        # reference's switch_mode (dvmvs/train.py:13-15, 124)
         if kind == "fusionnet":
             loss, (_, metrics) = fusionnet_loss_fn(
-                state.params, state.batch_stats, model, batch, loss_type)
+                state.params, state.batch_stats, model, batch, loss_type,
+                bn_train=False)
         else:
-            n_dirs = 1
             loss, (_, metrics) = pairnet_loss_fn(
                 state.params, state.batch_stats, model, batch,
-                jnp.zeros((n_dirs,), bool), loss_type, False)
+                jnp.zeros((1,), bool), loss_type, False, bn_train=False)
         return metrics
 
     if mesh is None:

@@ -93,3 +93,53 @@ def test_baseline_predict_smoke(rng, name, monkeypatch):
     assert depth.shape == (H, W)
     assert np.isfinite(depth).all()
     assert (depth > 0).all()
+
+
+def test_deltas_components(rng):
+    """DELTAS sub-components: NMS keeps only local maxima; DLT recovers a
+    known 3D point from exact projections."""
+    import jax.numpy as jnp
+    from dvmvs_tpu.baselines.deltas import simple_nms, triangulate_dlt
+
+    s = np.zeros((1, 16, 16), np.float32)
+    s[0, 5, 5] = 1.0
+    s[0, 5, 7] = 0.8  # within radius of the stronger peak
+    s[0, 12, 12] = 0.9
+    out = np.asarray(simple_nms(jnp.asarray(s), radius=2))
+    assert out[0, 5, 5] == 1.0 and out[0, 12, 12] == 0.9
+    assert out[0, 5, 7] == 0.0
+
+    K = np.array([[100.0, 0, 32], [0, 100.0, 24], [0, 0, 1]])
+    X = np.array([0.3, -0.2, 2.5])
+    projs, pts = [], []
+    for tx in (0.0, 0.2, -0.15):
+        T = np.eye(4)
+        T[0, 3] = tx
+        P = K @ T[:3]
+        p = P @ np.append(X, 1.0)
+        pts.append(p[:2] / p[2])
+        projs.append(P)
+    got = np.asarray(triangulate_dlt(
+        jnp.asarray(np.stack(projs), dtype=jnp.float32),
+        jnp.asarray(np.stack(pts)[None], dtype=jnp.float32),  # (Kn=1, V, 2)
+        jnp.ones((1, 3), jnp.float32)))
+    np.testing.assert_allclose(got[0], X, atol=1e-3)
+
+
+def test_deltas_predict_smoke(rng):
+    from dvmvs_tpu.baselines.deltas import Deltas
+
+    class SmallDeltas(Deltas):
+        image_width = 64
+        image_height = 48
+
+    est = SmallDeltas(n_measurement_frames=1)
+    H, W = 48, 64
+    ref = rng.randn(H, W, 3).astype(np.float32)
+    meas = [rng.randn(H, W, 3).astype(np.float32)]
+    K = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]], np.float32)
+    pose2 = np.eye(4, dtype=np.float32)
+    pose2[0, 3] = 0.1
+    depth = est.predict(ref, meas, np.eye(4, dtype=np.float32), [pose2], K)
+    assert depth.shape == (H, W)
+    assert np.isfinite(depth).all() and (depth > 0).all()

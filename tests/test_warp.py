@@ -119,3 +119,30 @@ def test_splat_zero_depth_gives_zero():
     K = jnp.asarray(np.array([[8.0, 0, 4], [0, 8.0, 4], [0, 0, 1]], dtype=np.float32)[None])
     out = splat_depth_max(depth, eye, eye, K, K, 4, 4)
     assert float(jnp.max(out)) == 0.0
+
+
+def test_splat_soft_matches_hard_on_isolated_points(rng):
+    """With integer landing pixels and no collisions, the differentiable
+    splat must agree with the scatter-max splat; and it must be
+    differentiable w.r.t. the previous depth."""
+    import jax
+    import jax.numpy as jnp
+    from dvmvs_tpu.ops.warp import splat_depth_max, splat_depth_soft
+
+    H, W = 8, 8
+    depth = np.zeros((1, H, W), np.float32)
+    depth[0, 2, 3] = 2.0
+    depth[0, 5, 6] = 1.5
+    eye = jnp.eye(4, dtype=jnp.float32)[None]
+    K = jnp.asarray(np.array([[8.0, 0, 4], [0, 8.0, 4], [0, 0, 1]], np.float32)[None])
+
+    hard = np.asarray(splat_depth_max(jnp.asarray(depth), eye, eye, K, K, H, W))
+    soft = np.asarray(splat_depth_soft(jnp.asarray(depth), eye, eye, K, K, H, W))
+    np.testing.assert_allclose(soft, hard, atol=1e-4)
+
+    def loss(d):
+        return jnp.sum(splat_depth_soft(d, eye, eye, K, K, H, W))
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(depth)))
+    assert np.isfinite(g).all()
+    assert abs(g[0, 2, 3]) > 0  # gradient reaches the source depth
