@@ -80,8 +80,7 @@ def reconstruct(poses, images, depths, K, voxel_size: float, mesh_path: str,
     print(f"Voxel volume size: {volume.vol_dim[0]} x {volume.vol_dim[1]} x "
           f"{volume.vol_dim[2]} - # points: {int(np.prod(volume.vol_dim)):,}")
     t0 = time.time()
-    for i in range(len(images)):
-        volume.integrate(images[i], depths[i], K, poses[i], obs_weight=1.0)
+    volume.integrate_frames(images, depths, K, poses, obs_weight=1.0)
     np.asarray(volume.tsdf)  # force completion for honest FPS
     print(f"Average FPS: {len(images) / (time.time() - t0):.2f}")
 

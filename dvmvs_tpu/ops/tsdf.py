@@ -156,6 +156,48 @@ class TSDFVolume:
             float(obs_weight), self.trunc_margin, im_h, im_w,
         )
 
+    def integrate_frames(self, color_ims, depth_ims, K, cam_poses,
+                         obs_weight: float = 1.0, chunk: int = 32):
+        """Integrate many frames as fused device scans (one dispatch per
+        ``chunk`` frames instead of one per frame — removes per-frame
+        dispatch/transfer overhead; the reference loops frame-by-frame,
+        run-tsdf-reconstruction.py:442-457)."""
+        n = len(depth_ims)
+        packed = np.stack([
+            c if c.ndim == 2 else pack_color(c) for c in color_ims
+        ]).astype(np.float32)
+        depths = np.stack(depth_ims).astype(np.float32)
+        poses = np.stack(cam_poses).astype(np.float32)
+        im_h, im_w = depths.shape[1:]
+        K = jnp.asarray(K.astype(np.float32))
+        origin = jnp.asarray(self.vol_origin)
+
+        @jax.jit
+        def scan_chunk(tsdf, weight, color, packed_c, depths_c, poses_c):
+            def body(carry, x):
+                t, w, c = carry
+                pc, dc, po = x
+                t, w, c = integrate_step(
+                    t, w, c, origin, self.voxel_size, pc, dc, K, po,
+                    obs_weight, self.trunc_margin, im_h, im_w)
+                return (t, w, c), None
+            (tsdf, weight, color), _ = jax.lax.scan(
+                body, (tsdf, weight, color), (packed_c, depths_c, poses_c))
+            return tsdf, weight, color
+
+        for start in range(0, n, chunk):
+            end = min(start + chunk, n)
+            if end - start < chunk:  # pad to keep one compiled shape
+                pad = chunk - (end - start)
+                pc = np.concatenate([packed[start:end], np.zeros((pad, im_h, im_w), np.float32)])
+                dc = np.concatenate([depths[start:end], np.zeros((pad, im_h, im_w), np.float32)])
+                po = np.concatenate([poses[start:end], np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))])
+            else:
+                pc, dc, po = packed[start:end], depths[start:end], poses[start:end]
+            self.tsdf, self.weight, self.color = scan_chunk(
+                self.tsdf, self.weight, self.color,
+                jnp.asarray(pc), jnp.asarray(dc), jnp.asarray(po))
+
     def get_volume(self) -> Tuple[np.ndarray, np.ndarray]:
         return np.asarray(self.tsdf), np.asarray(self.color)
 

@@ -147,3 +147,30 @@ def test_volume_bounds(rng):
     b = calculate_volume_bounds([depth], [pose], K)
     assert b[2, 1] >= 2.0  # frustum reaches max depth
     assert b[0, 0] < 0 < b[0, 1]
+
+
+def test_integrate_frames_matches_sequential(rng):
+    H, W = 12, 16
+    K = np.array([[14.0, 0, W / 2], [0, 14.0, H / 2], [0, 0, 1]], np.float32)
+    poses = []
+    depths, images = [], []
+    for i in range(5):
+        pose = np.eye(4, dtype=np.float32)
+        pose[0, 3] = 0.05 * i
+        pose[2, 3] = -1.0
+        poses.append(pose)
+        depths.append(rng.uniform(1.0, 3.0, (H, W)).astype(np.float32))
+        images.append(rng.randint(0, 255, (H, W, 3)).astype(np.uint8))
+
+    bounds = np.array([[-0.5, 0.5], [-0.5, 0.5], [0.5, 1.5]])
+    seq = TSDFVolume(bounds, voxel_size=0.2)
+    for img, d, p in zip(images, depths, poses):
+        seq.integrate(img, d, K, p)
+    batched = TSDFVolume(bounds, voxel_size=0.2)
+    batched.integrate_frames(images, depths, K, poses, chunk=3)  # pads chunk 2
+
+    ts, cs = seq.get_volume()
+    tb, cb = batched.get_volume()
+    np.testing.assert_allclose(tb, ts, atol=1e-6)
+    np.testing.assert_array_equal(cb, cs)
+    np.testing.assert_allclose(np.asarray(batched.weight), np.asarray(seq.weight))
