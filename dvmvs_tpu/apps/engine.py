@@ -65,6 +65,7 @@ class InferenceEngine:
 
         self._predict_pair = jax.jit(self._predict_pair_impl)
         self._predict_fusion = jax.jit(self._predict_fusion_impl)
+        self._encode_predict = jax.jit(self._encode_predict_impl)
         self.reset()
 
     # ------------------------------------------------------------------ init
@@ -107,6 +108,22 @@ class InferenceEngine:
             K, carry, prev_pose, hyp, view_mask, method="predict_depth",
         )
         return depths, carry, depths[0]
+
+    def _encode_predict_impl(self, variables, ref_image, meas_half,
+                             ref_pose, meas_poses, K, view_mask,
+                             carry, prev_pose, prev_depth, has_prev):
+        """Single dispatch: extract reference features AND predict — the
+        online driver's hot path (one RPC round trip instead of two)."""
+        ref_feats = self.model.apply(variables, ref_image, method="extract_features")
+        if self.kind == "pairnet":
+            depths = self._predict_pair_impl(
+                variables, ref_image, ref_feats, meas_half, ref_pose,
+                meas_poses, K, view_mask)
+            return depths, ref_feats[0], None, None
+        depths, carry, full = self._predict_fusion_impl(
+            variables, ref_image, ref_feats, meas_half, ref_pose, meas_poses,
+            K, view_mask, carry, prev_pose, prev_depth, has_prev)
+        return depths, ref_feats[0], carry, full
 
     # ---------------------------------------------------------------- host API
     def reset(self):
@@ -161,3 +178,39 @@ class InferenceEngine:
         self.prev_depth = full
         self.has_prev = jnp.ones((), jnp.float32)
         return np.asarray(depths[0][0])
+
+    def encode_and_predict(
+        self,
+        ref_image: np.ndarray,
+        meas_half: Sequence[jnp.ndarray],
+        ref_pose: np.ndarray,
+        meas_poses: Sequence[np.ndarray],
+        K: np.ndarray,
+    ):
+        """Fused hot path for the online driver: one dispatch that encodes
+        the reference frame and predicts. Returns (depth (H,W) np, cached
+        f_half device array (1, H/2, W/2, C))."""
+        V = self.V
+        n = len(meas_half)
+        assert 1 <= n <= V
+        mask = np.zeros((1, V), np.float32)
+        mask[0, :n] = 1.0
+        padded = list(meas_half) + [meas_half[0]] * (V - n)
+        meas_stack = jnp.stack([f[0] for f in padded], axis=0)[None]
+        mposes = list(meas_poses) + [meas_poses[0]] * (V - n)
+        mposes = jnp.asarray(np.stack(mposes, axis=0).astype(np.float32))[None]
+
+        ref_image_j = jnp.asarray(ref_image.astype(np.float32))[None]
+        ref_pose_j = jnp.asarray(ref_pose.astype(np.float32))[None]
+        K_j = jnp.asarray(K.astype(np.float32))[None]
+
+        depths, f_half, carry, full = self._encode_predict(
+            self.variables, ref_image_j, meas_stack, ref_pose_j, mposes,
+            K_j, jnp.asarray(mask),
+            self.carry, self.prev_pose, self.prev_depth, self.has_prev)
+        if self.kind == "fusionnet":
+            self.carry = carry
+            self.prev_pose = ref_pose_j
+            self.prev_depth = full
+            self.has_prev = jnp.ones((), jnp.float32)
+        return np.asarray(depths[0][0]), f_half

@@ -62,11 +62,12 @@ def predict_scene(
 
         # Keyframe entry: (pose, cached half-res features on device)
         response = buf.try_new_keyframe(pose, None)
-        if response in (0, 1):
+        if response == 0:
             image = preprocessor.apply_rgb(image_raw, SCALE_RGB, MEAN_RGB, STD_RGB)
-            feats = engine.encode(image)
-            buf.buffer[-1] = (pose, (image, feats))
-        if response in (0, 2, 4, 5):
+            f_half = engine.encode(image)[0]
+            buf.buffer[-1] = (pose, f_half)
+            continue
+        if response in (2, 4, 5):
             continue
         if response == 3:
             engine.reset()
@@ -77,14 +78,18 @@ def predict_scene(
             d = load_depth_png(scene.depth_filenames[i])
             reference_depths.append(preprocessor.apply_depth(d))
 
+        image = preprocessor.apply_rgb(image_raw, SCALE_RGB, MEAN_RGB, STD_RGB)
         measurement_frames = buf.get_best_measurement_frames(cfg.n_measurement_frames)
-        meas_half = [entry[1][1][0] for entry in measurement_frames]
+        meas_half = [entry[1] for entry in measurement_frames]
         meas_poses = [entry[0] for entry in measurement_frames]
-        ref_image, ref_feats = buf.buffer[-1][1]
 
         timer.record_start_time()
-        depth = engine.predict(ref_image, ref_feats, meas_half, pose, meas_poses, updated_K)
+        # fused encode+predict: one device dispatch; the reference frame's
+        # half-res features come back for the keyframe cache
+        depth, f_half = engine.encode_and_predict(
+            image, meas_half, pose, meas_poses, updated_K)
         timer.record_end_time_and_elapsed_time()
+        buf.buffer[-1] = (pose, f_half)
         predictions.append(depth)
 
     timer.print_statistics()

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from dvmvs_tpu.models.convlstm import warp_hidden_state
 from dvmvs_tpu.models.pairnet import scale_intrinsics
-from dvmvs_tpu.ops.cost_volume import plane_sweep_cost_volume
+from dvmvs_tpu.ops.cost_volume import plane_sweep_cost_volume_train
 from dvmvs_tpu.ops.sampling import resize_nearest
 
 
@@ -64,9 +64,9 @@ def fusionnet_train_sequence(self, images, depths, poses, K, bn_train: bool = Tr
 
     def body(mdl, carry, x):
         h, c = carry
-        cv = plane_sweep_cost_volume(
+        cv = plane_sweep_cost_volume_train(
             x["ref_half"], x["meas_half"], x["pose"], x["prev_pose"], half_K,
-            mdl.min_depth, mdl.max_depth, mdl.n_depth_levels, dot_product=True,
+            mdl.min_depth, mdl.max_depth, mdl.n_depth_levels,
         )
         skip0, skip1, skip2, skip3, bottom = mdl.cost_volume_encoder(
             x["ref_half"], x["ref_quarter"], x["ref_one_eight"],
@@ -119,9 +119,9 @@ def pairnet_train_pair(self, images, depths, poses, K, flip_mask,
     directions = [(1, 0)] if not two_way else [(0, 1), (1, 0)]
     outputs = []
     for d, (i1, i2) in enumerate(directions):
-        cv = plane_sweep_cost_volume(
+        cv = plane_sweep_cost_volume_train(
             f_half[:, i1], f_half[:, i2], poses[:, i1], poses[:, i2], half_K,
-            self.min_depth, self.max_depth, self.n_depth_levels, dot_product=True,
+            self.min_depth, self.max_depth, self.n_depth_levels,
         )
         flip = flip_mask[d]
 

@@ -113,6 +113,118 @@ def plane_sweep_cost_volume(
     return cost.transpose(0, 2, 3, 1)  # NHWC: planes as channels
 
 
+def plane_sweep_cost_volume_banded(
+    ref_feat: jnp.ndarray,
+    meas_feat: jnp.ndarray,
+    ref_pose: jnp.ndarray,
+    meas_pose: jnp.ndarray,
+    K: jnp.ndarray,
+    min_depth: float,
+    max_depth: float,
+    n_depth_levels: int,
+    band_h: int = 8,
+    plane_chunk: int = 8,
+) -> jnp.ndarray:
+    """DIFFERENTIABLE banded hat-matmul plane sweep (pure XLA).
+
+    Same math as the Pallas kernel (gather-free: dynamic source-row bands +
+    hat-function interpolation matmuls on the MXU) but expressed in jnp so
+    gradients flow to both feature maps — this is the fast TRAINING path;
+    inference uses the Pallas kernel. Exact iff every row's in-bounds y-span
+    fits in ``band_h`` (see pallas.cost_volume_kernel.max_row_span); training
+    drivers wrap it in a span-checked lax.cond against the gather path.
+
+    Returns (B, H, W, P).
+    """
+    from dvmvs_tpu.ops.pallas.cost_volume_kernel import build_plane_matrices
+
+    B, H, W, C = ref_feat.shape
+    P = n_depth_levels
+    inv_depths = inverse_depth_planes(min_depth, max_depth, n_depth_levels)
+    Ms = jax.vmap(build_plane_matrices, in_axes=(0, 0, 0, None))(
+        ref_pose, meas_pose, K, inv_depths)  # (B, P, 3, 3)
+
+    x = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+    y = jnp.arange(H, dtype=jnp.float32)[None, :, None]
+    jw = jnp.arange(W, dtype=jnp.float32)
+    ks = jnp.arange(band_h, dtype=jnp.float32)
+
+    def one_batch(ref, meas, M):
+        # coords for all planes: (P, H, W)
+        den = M[:, None, None, 2, 0] * x + M[:, None, None, 2, 1] * y \
+            + M[:, None, None, 2, 2] + 1e-8
+        xs = (M[:, None, None, 0, 0] * x + M[:, None, None, 0, 1] * y
+              + M[:, None, None, 0, 2]) / den * ((W - 1.0) / W)
+        ys = (M[:, None, None, 1, 0] * x + M[:, None, None, 1, 1] * y
+              + M[:, None, None, 1, 2]) / den * ((H - 1.0) / H)
+        in_b = (ys > -1.0) & (ys < float(H))
+        ys_in = jnp.where(in_b, ys, float(H))
+        lo = jnp.clip(jnp.floor(jnp.min(ys_in, axis=-1)), 0, H - band_h
+                      ).astype(jnp.int32)  # (P, H)
+
+        n_chunks = P // plane_chunk
+        xs_c = xs.reshape(n_chunks, plane_chunk, H, W)
+        ys_c = ys.reshape(n_chunks, plane_chunk, H, W)
+        lo_c = lo.reshape(n_chunks, plane_chunk, H)
+
+        def chunk_fn(args):
+            cxs, cys, clo = args  # (c,H,W), (c,H,W), (c,H)
+            hatx = jnp.maximum(0.0, 1.0 - jnp.abs(cxs[..., None] - jw))  # (c,H,W,Win)
+            bands = jax.vmap(jax.vmap(
+                lambda l: jax.lax.dynamic_slice(meas, (l, 0, 0), (band_h, W, C))
+            ))(clo)  # (c,H,band_h,Win,C)
+            xint = jnp.einsum("pyxj,pykjc->pyxkc", hatx, bands)
+            ky = clo[..., None].astype(jnp.float32) + ks  # (c,H,band_h)
+            haty = jnp.maximum(
+                0.0, 1.0 - jnp.abs(cys[..., None] - ky[:, :, None, :]))  # (c,H,W,band_h)
+            warped = jnp.einsum("pyxk,pyxkc->pyxc", haty, xint)
+            return jnp.einsum("yxc,pyxc->pyx", ref, warped) / C
+
+        cost = jax.lax.map(chunk_fn, (xs_c, ys_c, lo_c))  # (n_chunks, c, H, W)
+        return cost.reshape(P, H, W)
+
+    cost = jax.vmap(one_batch)(ref_feat, meas_feat, Ms)  # (B, P, H, W)
+    return cost.transpose(0, 2, 3, 1)
+
+
+def plane_sweep_cost_volume_train(
+    ref_feat, meas_feat, ref_pose, meas_pose, K,
+    min_depth, max_depth, n_depth_levels,
+    band_h: int = 8, plane_chunk: int = 8,
+):
+    """Differentiable plane sweep with runtime path selection: banded
+    hat-matmul when the frame geometry allows (the common case during
+    training — pose windows bound rotation), gather otherwise. Both branches
+    are differentiable; lax.cond executes one."""
+    from dvmvs_tpu.ops.pallas.cost_volume_kernel import (
+        build_plane_matrices,
+        max_row_span,
+    )
+
+    if jax.default_backend() != "tpu":
+        return plane_sweep_cost_volume(
+            ref_feat, meas_feat, ref_pose, meas_pose, K,
+            min_depth, max_depth, n_depth_levels, plane_chunk=plane_chunk)
+
+    H, W = ref_feat.shape[1:3]
+    inv_depths = inverse_depth_planes(min_depth, max_depth, n_depth_levels)
+    Ms = jax.vmap(build_plane_matrices, in_axes=(0, 0, 0, None))(
+        ref_pose, meas_pose, K, inv_depths)
+    span = jnp.max(jax.vmap(lambda m: max_row_span(m, H, W, band_h))(Ms))
+
+    def banded():
+        return plane_sweep_cost_volume_banded(
+            ref_feat, meas_feat, ref_pose, meas_pose, K,
+            min_depth, max_depth, n_depth_levels, band_h, plane_chunk)
+
+    def gather():
+        return plane_sweep_cost_volume(
+            ref_feat, meas_feat, ref_pose, meas_pose, K,
+            min_depth, max_depth, n_depth_levels, plane_chunk=plane_chunk)
+
+    return jax.lax.cond(span <= band_h, banded, gather)
+
+
 def _gather_fused(
     ref_feat, meas_feats, ref_pose, meas_poses, K,
     min_depth, max_depth, n_depth_levels, dot_product, view_mask, plane_chunk,

@@ -121,3 +121,45 @@ def test_fusion_masked_mean(rng):
         jnp.asarray(K), MIN_D, MAX_D, LEVELS, plane_chunk=4)
     want = (np.asarray(cv1) + np.asarray(cv2)) / 2.0
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_banded_matches_gather_and_grads(rng):
+    """The differentiable banded hat-matmul path must match the gather path
+    in both forward values and gradients."""
+    import jax
+    from dvmvs_tpu.ops.cost_volume import plane_sweep_cost_volume_banded
+    from scipy.spatial.transform import Rotation
+
+    B, C, H, W = 1, 8, 16, 32
+    ref = rng.randn(B, H, W, C).astype(np.float32)
+    meas = rng.randn(B, H, W, C).astype(np.float32)
+    pose1 = np.eye(4, dtype=np.float32)
+    pose2 = np.eye(4, dtype=np.float32)
+    pose2[:3, :3] = Rotation.from_euler("xyz", [1, 2, 0.5], degrees=True).as_matrix()
+    pose2[:3, 3] = [0.1, 0.02, 0.01]
+    K = np.array([[20.0, 0, W / 2], [0, 20.0, H / 2], [0, 0, 1]], np.float32)
+
+    args = (jnp.asarray(pose1)[None], jnp.asarray(pose2)[None], jnp.asarray(K)[None])
+
+    def f_banded(r, m):
+        return plane_sweep_cost_volume_banded(
+            r, m, *args, MIN_D, MAX_D, LEVELS, band_h=8, plane_chunk=4)
+
+    def f_gather(r, m):
+        return plane_sweep_cost_volume(
+            r, m, *args, MIN_D, MAX_D, LEVELS, plane_chunk=4)
+
+    rj, mj = jnp.asarray(ref), jnp.asarray(meas)
+    np.testing.assert_allclose(
+        np.asarray(f_banded(rj, mj)), np.asarray(f_gather(rj, mj)), atol=2e-4)
+
+    def loss_b(r, m):
+        return jnp.sum(f_banded(r, m) ** 2)
+
+    def loss_g(r, m):
+        return jnp.sum(f_gather(r, m) ** 2)
+
+    gb = jax.grad(loss_b, argnums=(0, 1))(rj, mj)
+    gg = jax.grad(loss_g, argnums=(0, 1))(rj, mj)
+    for a, b in zip(gb, gg):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
