@@ -90,13 +90,38 @@ def run_epoch(step_fn, state, dataset, cfg, mesh, seed, kind, print_frequency=10
     return state, meter
 
 
-def validate(eval_fn, state, dataset, cfg):
+def validate(eval_fn, state, dataset, cfg, viz_dir=None, model=None, kind=None,
+             epoch=0):
     meters = {k: LossMeter() for k in ("l1", "huber", "l1_inv", "l1_rel")}
+    first_batch = None
     for batch in device_prefetch(batch_iterator(dataset, cfg.batch_size, shuffle=False)):
+        if first_batch is None:
+            first_batch = batch
         metrics = eval_fn(state, batch)
         count = float(metrics["valid_count"])
         for k in meters:
             meters[k].update(float(metrics[k]), max(count, 1.0))
+
+    if viz_dir is not None and first_batch is not None and model is not None:
+        # depth-panel dump, the reference's periodic tensorboard image grid
+        # (dvmvs/train.py:47-77)
+        from dvmvs_tpu.models.training_heads import fusionnet_train_sequence
+        from dvmvs_tpu.utils.visualization import colorize_depth
+        import cv2
+        if kind == "fusionnet":
+            preds = model.apply(
+                {"params": jax.device_get(state.params),
+                 "batch_stats": jax.device_get(state.batch_stats)},
+                first_batch["images"], first_batch["depths"],
+                first_batch["poses"], first_batch["K"], False,
+                method=fusionnet_train_sequence, mutable=["batch_stats"])[0]
+            pred_full = np.asarray(preds[0][-1][0])  # last step, first sample
+            gt = np.asarray(first_batch["depths"][0, -1])
+            os.makedirs(viz_dir, exist_ok=True)
+            cv2.imwrite(os.path.join(viz_dir, f"epoch{epoch:04d}_pred.png"),
+                        colorize_depth(pred_full))
+            cv2.imwrite(os.path.join(viz_dir, f"epoch{epoch:04d}_gt.png"),
+                        colorize_depth(gt))
     return [meters[k].avg for k in ("l1", "l1_inv", "l1_rel", "huber")]
 
 
@@ -211,7 +236,9 @@ def main():
                                      args.seed + epoch, kind,
                                      print_frequency=2 if args.max_steps else 100,
                                      max_steps=args.max_steps, logger=logger)
-            losses = validate(eval_fn, state, val_set, cfg)
+            losses = validate(eval_fn, state, val_set, cfg,
+                              viz_dir=os.path.join(run_dir, "panels"),
+                              model=model, kind=kind, epoch=epoch)
             print(f"  validation l1/l1-inv/l1-rel/huber: "
                   + " ".join(f"{l:.4f}" for l in losses))
             logger.log(int(state.step), "validation", dict(

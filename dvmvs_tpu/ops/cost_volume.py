@@ -301,7 +301,7 @@ def cost_volume_fused(
         BAND_H_SMALL,
         build_plane_matrices,
         max_row_span,
-        pallas_plane_sweep,
+        pallas_plane_sweep_multiview,
     )
 
     inv_depths = inverse_depth_planes(min_depth, max_depth, n_depth_levels)
@@ -314,19 +314,23 @@ def cost_volume_fused(
     span_big = jnp.max(jax.vmap(jax.vmap(
         lambda m: max_row_span(m, H, W, BAND_H)))(Ms))
 
+    if view_mask is None:
+        weights = jnp.full((B, V), 1.0 / V, jnp.float32)
+    else:
+        m = view_mask.astype(jnp.float32)
+        weights = m / jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+
     def pallas_branch(band_h):
         def branch():
-            flat_ref = jnp.repeat(ref_feat[:, None], V, axis=1).reshape(B * V, H, W, -1)
-            flat_meas = meas_feats.reshape((B * V,) + meas_feats.shape[2:])
-            flat_M = Ms.reshape(B * V, n_depth_levels, 3, 3)
+            # one fused multi-view kernel launch per batch element; the
+            # per-view weights implement the masked mean inside the kernel
             cvs = jax.lax.map(
-                lambda t: pallas_plane_sweep(t[0], t[1], t[2], band_h=band_h,
-                                             dot_product=dot_product),
-                (flat_ref, flat_meas, flat_M),
-            )  # (B*V, P, H, W)
-            per_view = cvs.reshape(B, V, n_depth_levels, H, W)
-            per_view = per_view.transpose(1, 0, 3, 4, 2)  # (V, B, H, W, P)
-            return _masked_view_mean(per_view, view_mask)
+                lambda t: pallas_plane_sweep_multiview(
+                    t[0], t[1], t[2], t[3], band_h=band_h,
+                    dot_product=dot_product),
+                (ref_feat, meas_feats, Ms, weights),
+            )  # (B, P, H, W)
+            return cvs.transpose(0, 2, 3, 1)
         return branch
 
     def gather_branch():

@@ -177,6 +177,125 @@ def pallas_plane_sweep(ref_feat, meas_feat, plane_matrices, interpret: bool = Fa
     )(plane_matrices.reshape(-1), ref_hcw, meas_flat)
 
 
+def _kernel_mv(params_ref, weights_ref, ref_ref, meas_ref, out_ref, *,
+               H, W, C, inv_channels, band_h, dot_product, n_views):
+    """Multi-view variant: grid (P, H//ROW_BLOCK, V) with the view axis
+    innermost, accumulating the weighted per-view cost into the same output
+    block (which therefore stays resident in VMEM across views)."""
+    p = pl.program_id(0)
+    rb = pl.program_id(1)
+    v = pl.program_id(2)
+
+    xw = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1).astype(jnp.float32)
+    jw = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0).astype(jnp.float32)
+
+    base = (v * pl.num_programs(0) + p) * 9
+    m00 = params_ref[base + 0]
+    m01 = params_ref[base + 1]
+    m02 = params_ref[base + 2]
+    m10 = params_ref[base + 3]
+    m11 = params_ref[base + 4]
+    m12 = params_ref[base + 5]
+    m20 = params_ref[base + 6]
+    m21 = params_ref[base + 7]
+    m22 = params_ref[base + 8]
+    w_view = weights_ref[v]
+
+    x_scale = (W - 1.0) / W
+    y_scale = (H - 1.0) / H
+
+    @pl.when(v == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    for r in range(ROW_BLOCK):
+        y = (rb * ROW_BLOCK + r).astype(jnp.float32)
+        den = m20 * xw + m21 * y + m22 + 1e-8
+        xs = (m00 * xw + m01 * y + m02) / den * x_scale
+        ys = (m10 * xw + m11 * y + m12) / den * y_scale
+
+        in_bounds = (ys > -1.0) & (ys < jnp.float32(H))
+        ys_in = jnp.where(in_bounds, ys, jnp.float32(H))
+        lo = jnp.clip(jnp.floor(jnp.min(ys_in)), 0, H - band_h).astype(jnp.int32)
+
+        hatx = jnp.maximum(0.0, 1.0 - jnp.abs(xs - jw))
+        ky = lo.astype(jnp.float32) + jax.lax.broadcasted_iota(
+            jnp.int32, (band_h, 1), 0).astype(jnp.float32)
+        haty = jnp.maximum(0.0, 1.0 - jnp.abs(ys - ky))
+
+        start = pl.multiple_of(lo * C, 8)
+        band = meas_ref[0, pl.ds(start, band_h * C), :]
+        xint = jax.lax.dot_general(
+            band, hatx, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        warped = jnp.zeros((C, W), jnp.float32)
+        for k in range(band_h):
+            warped = warped + haty[k:k + 1, :] * xint[k * C:(k + 1) * C, :]
+
+        if dot_product:
+            cost = jnp.sum(ref_ref[r] * warped, axis=0, keepdims=True) * inv_channels
+        else:
+            cost = jnp.sum(jnp.abs(ref_ref[r] - warped), axis=0, keepdims=True)
+        out_ref[0, pl.ds(r, 1), :] += cost * w_view
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "band_h", "dot_product"))
+def pallas_plane_sweep_multiview(ref_feat, meas_feats, plane_matrices, weights,
+                                 interpret: bool = False, band_h: int = BAND_H,
+                                 dot_product: bool = True):
+    """Fused multi-view cost volume in ONE kernel launch.
+
+    ref_feat (H, W, C); meas_feats (V, H, W, C); plane_matrices (V, P, 3, 3);
+    weights (V,) — per-view weights (e.g. mask/valid_count for the masked
+    mean). Returns (P, H, W) of sum_v weights[v] * cost_v.
+    """
+    H, W, C = ref_feat.shape
+    V, P = plane_matrices.shape[:2]
+    assert H % ROW_BLOCK == 0
+
+    if C % 8 != 0:
+        pad = 8 - C % 8
+        n_real = C
+        ref_feat = jnp.concatenate(
+            [ref_feat, jnp.zeros(ref_feat.shape[:2] + (pad,), ref_feat.dtype)], axis=-1)
+        meas_feats = jnp.concatenate(
+            [meas_feats, jnp.zeros(meas_feats.shape[:3] + (pad,), meas_feats.dtype)],
+            axis=-1)
+        C = C + pad
+    else:
+        n_real = C
+
+    ref_hcw = jnp.swapaxes(ref_feat, 1, 2)  # (H, C, W)
+    meas_flat = jnp.swapaxes(meas_feats, 2, 3).reshape(V, H * C, W)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(P, H // ROW_BLOCK, V),
+        in_specs=[
+            pl.BlockSpec((ROW_BLOCK, C, W), lambda p, rb, v, *_: (rb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H * C, W), lambda p, rb, v, *_: (v, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, ROW_BLOCK, W), lambda p, rb, v, *_: (p, rb, 0),
+            memory_space=pltpu.VMEM),
+    )
+
+    kernel = functools.partial(
+        _kernel_mv, H=H, W=W, C=C, inv_channels=1.0 / n_real,
+        band_h=band_h, dot_product=dot_product, n_views=V)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((P, H, W), jnp.float32),
+        interpret=interpret,
+    )(plane_matrices.reshape(-1), weights.astype(jnp.float32),
+      ref_hcw, meas_flat)
+
+
 def max_row_span(plane_matrices, H: int, W: int, band_h: int = BAND_H):
     """Max rows of band coverage any (plane, row) needs. The Pallas kernel
     with band ``band_h`` is exact iff this is <= band_h; only in-bounds

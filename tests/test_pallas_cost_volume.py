@@ -84,3 +84,27 @@ def test_plane_matrices_reproduce_reference_warp():
         want = A @ uv + Kt * invd[p]
         got = M[p] @ uv
         np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_multiview_kernel_matches_per_view_mean(rng):
+    """Fused multi-view kernel (interpret mode) == weighted mean of
+    single-view sweeps."""
+    from dvmvs_tpu.ops.pallas.cost_volume_kernel import pallas_plane_sweep_multiview
+
+    ref = rng.randn(H, W, C).astype(np.float32)
+    meas = [rng.randn(H, W, C).astype(np.float32) for _ in range(2)]
+    pose1 = np.eye(4, dtype=np.float32)
+    poses = [_pose([1, 2, 0.5], [0.1, 0.02, 0.0]), _pose([0, 1, 1], [-0.08, 0.0, 0.03])]
+    invd = inverse_depth_planes(0.25, 20.0, P)
+    Ms = jnp.stack([
+        build_plane_matrices(jnp.asarray(pose1), jnp.asarray(p), jnp.asarray(_K()), invd)
+        for p in poses])
+    weights = jnp.asarray([0.7, 0.3])
+
+    got = pallas_plane_sweep_multiview(
+        jnp.asarray(ref), jnp.asarray(np.stack(meas)), Ms, weights, interpret=True)
+    want = 0.0
+    for w, m, M in zip([0.7, 0.3], meas, Ms):
+        want = want + w * np.asarray(
+            pallas_plane_sweep(jnp.asarray(ref), jnp.asarray(m), M, interpret=True))
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-4)
