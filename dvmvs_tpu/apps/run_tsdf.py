@@ -73,14 +73,23 @@ def load_keyframe_data(scene_folder: str, index_file: str, predictions: np.ndarr
 
 
 def reconstruct(poses, images, depths, K, voxel_size: float, mesh_path: str,
-                bounds=None):
+                bounds=None, save_progressive: bool = False):
     if bounds is None:
         bounds = calculate_volume_bounds(depths, poses, K) * 1.05
     volume = TSDFVolume(bounds, voxel_size=voxel_size)
     print(f"Voxel volume size: {volume.vol_dim[0]} x {volume.vol_dim[1]} x "
           f"{volume.vol_dim[2]} - # points: {int(np.prod(volume.vol_dim)):,}")
     t0 = time.time()
-    volume.integrate_frames(images, depths, K, poses, obs_weight=1.0)
+    if save_progressive:
+        # per-frame meshes for progressive visuals
+        # (reference: run-tsdf-reconstruction.py:448-452)
+        base = mesh_path[:-len("_complete.ply")]
+        for i in range(len(images)):
+            volume.integrate(images[i], depths[i], K, poses[i], obs_weight=1.0)
+            verts, faces, norms, colors = volume.get_mesh()
+            write_mesh_ply(f"{base}_frame_{i:05d}.ply", verts, faces, norms, colors)
+    else:
+        volume.integrate_frames(images, depths, K, poses, obs_weight=1.0)
     np.asarray(volume.tsdf)  # force completion for honest FPS
     print(f"Average FPS: {len(images) / (time.time() - t0):.2f}")
 
@@ -107,6 +116,8 @@ def main():
                     help="volume bounds from GT depth frusta")
     ap.add_argument("--save-groundtruth", action="store_true",
                     help="also reconstruct from GT depth maps")
+    ap.add_argument("--save-progressive", action="store_true",
+                    help="write a mesh after every integrated frame")
     args = ap.parse_args()
 
     os.makedirs(args.output, exist_ok=True)
@@ -137,7 +148,8 @@ def main():
            f"_anchor-{args.groundtruth_anchor}")
     mesh_path = os.path.join(
         args.output, f"{tag}_PREDICTION_{args.dataset_name}_{args.scene}_complete.ply")
-    reconstruct(poses, images, depths, scaled_K, args.voxel_size, mesh_path, bounds)
+    reconstruct(poses, images, depths, scaled_K, args.voxel_size, mesh_path,
+                bounds, save_progressive=args.save_progressive)
 
     if args.save_groundtruth:
         # GT reconstruction uses every frame with its original-res image

@@ -57,3 +57,35 @@ def load_scene(scene_path: str) -> Scene:
         image_filenames=image_filenames,
         depth_filenames=depth_filenames,
     )
+
+
+def read_pfm(path: str):
+    """Read a PFM image (reference: dataset/utils.py:68-108).
+
+    Returns (data (H, W) or (H, W, 3) float32, scale). PFM stores rows
+    bottom-up; the returned array is top-down.
+    """
+    import re
+
+    with open(path, "rb") as f:
+        header = f.readline().rstrip()
+        if header == b"PF":
+            color = True
+        elif header == b"Pf":
+            color = False
+        else:
+            raise ValueError("Not a PFM file.")
+
+        dims = re.match(rb"^(\d+)\s(\d+)\s$", f.readline())
+        if not dims:
+            raise ValueError("Malformed PFM header.")
+        width, height = map(int, dims.groups())
+
+        scale = float(f.readline().rstrip())
+        endian = "<" if scale < 0 else ">"
+        scale = abs(scale)
+
+        data = np.fromfile(f, endian + "f")
+        shape = (height, width, 3) if color else (height, width)
+        data = np.reshape(data, shape)
+        return np.flipud(data).astype(np.float32), scale

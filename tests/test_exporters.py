@@ -157,3 +157,19 @@ def test_depth_image_to_point_cloud(rng):
     np.testing.assert_allclose(pts[:, 2], 2.0, atol=1e-6)  # z in world = depth
     # pixel (u=3, v=2) backprojects to x=0 camera + 1.0 translation
     assert np.any(np.isclose(pts[:, 0], 1.0, atol=1e-6))
+
+
+def test_read_pfm_roundtrip(tmp_path, rng):
+    from dvmvs_tpu.data.io import read_pfm
+
+    h, w = 6, 9
+    data = rng.rand(h, w).astype(np.float32)
+    path = str(tmp_path / "img.pfm")
+    with open(path, "wb") as f:
+        f.write(b"Pf\n")
+        f.write(f"{w} {h}\n".encode())
+        f.write(b"-1.0\n")  # little-endian
+        np.flipud(data).astype("<f").tofile(f)
+    got, scale = read_pfm(path)
+    np.testing.assert_allclose(got, data)
+    assert scale == 1.0
