@@ -14,12 +14,39 @@ import os
 
 import numpy as np
 
+import queue
+import threading
+
 from dvmvs_tpu.config import MEAN_RGB, SCALE_RGB, STD_RGB, TestConfig
 from dvmvs_tpu.data.io import load_depth_png, load_image, load_scene
 from dvmvs_tpu.data.preprocess import PreprocessImage
 from dvmvs_tpu.apps.engine import InferenceEngine
 from dvmvs_tpu.utils.keyframe_buffer import KeyframeBuffer
 from dvmvs_tpu.utils.results import InferenceTimer, save_results
+
+
+class _FramePrefetcher:
+    """Sequential read-ahead of frame decode on a worker thread, so host
+    image IO overlaps device compute (the reference loads synchronously per
+    frame, run-testing-online.py:104)."""
+
+    def __init__(self, filenames, depth: int = 4):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._filenames = filenames
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        for f in self._filenames:
+            self._q.put(load_image(f))
+        self._q.put(None)
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            yield item
 
 
 def predict_scene(
@@ -43,11 +70,11 @@ def predict_scene(
     timer = InferenceTimer()
     engine.reset()
 
-    for i in range(len(scene.poses)):
+    prefetcher = _FramePrefetcher(scene.image_filenames[: len(scene.poses)])
+    for i, image_raw in enumerate(prefetcher):
         if max_frames is not None and len(predictions) >= max_frames:
             break
         pose = scene.poses[i]
-        image_raw = load_image(scene.image_filenames[i])
 
         if preprocessor is None:
             preprocessor = PreprocessImage(
