@@ -43,19 +43,33 @@ def main():
     ref, meas, pose, mposes, K, carry, prev_pose, hyp = args
 
     # Distinct per-step frames so XLA cannot hoist the feature extraction
-    # (or anything else) out of the scan — every step does the full work a
-    # real stream does.
+    # out of the scan, and the FULL recurrent state threaded through the
+    # carry — including the previous depth map feeding the next step's
+    # forward-splat hypothesis — so nothing is dead-code-eliminated. This is
+    # exactly the online engine's per-frame device work.
+    from dvmvs_tpu.models.pairnet import scale_intrinsics
+    from dvmvs_tpu.ops.sampling import resize_nearest
+    from dvmvs_tpu.ops.warp import splat_depth_max
+
     rs = np.random.RandomState(1)
     refs = jnp.asarray(rs.randn(N_STEPS, *ref.shape[1:]).astype(np.float32))
     meass = jnp.asarray(rs.randn(N_STEPS, *meas.shape[1:]).astype(np.float32))
+    H, W = ref.shape[1:3]
 
     def many(variables, carry):
-        def body(c, x):
+        prev_depth0 = jnp.zeros((1, H, W), jnp.float32)
+
+        def body(state, x):
+            c, prev_depth = state
             r, m = x
+            half_K = scale_intrinsics(K, 0.5)
+            splat = splat_depth_max(prev_depth, prev_pose, pose, K, half_K,
+                                    H // 2, W // 2)
+            hyp_t = resize_nearest(splat, H // 32, W // 32)
             depths, c2 = model.apply(
-                variables, r[None], m[None], pose, mposes, K, c, prev_pose, hyp)
-            return c2, depths[0][0, 0, 0]
-        c, outs = jax.lax.scan(body, carry, (refs, meass))
+                variables, r[None], m[None], pose, mposes, K, c, prev_pose, hyp_t)
+            return (c2, depths[0]), depths[0][0, 0, 0]
+        _, outs = jax.lax.scan(body, (carry, prev_depth0), (refs, meass))
         return outs
 
     many_j = jax.jit(many)
