@@ -300,7 +300,7 @@ def cost_volume_fused(
         BAND_H,
         BAND_H_SMALL,
         build_plane_matrices,
-        max_row_span,
+        max_row_spans,
         pallas_plane_sweep_multiview,
     )
 
@@ -309,10 +309,10 @@ def cost_volume_fused(
         jax.vmap(build_plane_matrices, in_axes=(None, 0, None, None)),
         in_axes=(0, 0, 0, None),
     )(ref_pose, meas_poses, K, inv_depths)  # (B, V, P, 3, 3)
-    span_small = jnp.max(jax.vmap(jax.vmap(
-        lambda m: max_row_span(m, H, W, BAND_H_SMALL)))(Ms))
-    span_big = jnp.max(jax.vmap(jax.vmap(
-        lambda m: max_row_span(m, H, W, BAND_H)))(Ms))
+    spans = jax.vmap(jax.vmap(
+        lambda m: jnp.stack(max_row_spans(m, H, W, (BAND_H_SMALL, BAND_H)))))(Ms)
+    span_small = jnp.max(spans[..., 0])
+    span_big = jnp.max(spans[..., 1])
 
     if view_mask is None:
         weights = jnp.full((B, V), 1.0 / V, jnp.float32)

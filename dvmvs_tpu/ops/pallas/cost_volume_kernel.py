@@ -296,10 +296,8 @@ def pallas_plane_sweep_multiview(ref_feat, meas_feats, plane_matrices, weights,
       ref_hcw, meas_flat)
 
 
-def max_row_span(plane_matrices, H: int, W: int, band_h: int = BAND_H):
-    """Max rows of band coverage any (plane, row) needs. The Pallas kernel
-    with band ``band_h`` is exact iff this is <= band_h; only in-bounds
-    samples count (mirrors the kernel's masked band minimum)."""
+def _row_extremes(plane_matrices, H: int, W: int):
+    """Per-(plane, row) in-bounds y extremes (min-floor, hi-needed)."""
     x = jnp.arange(W, dtype=jnp.float32)[None, None, :]
     y = jnp.arange(H, dtype=jnp.float32)[None, :, None]
     M = plane_matrices
@@ -308,7 +306,25 @@ def max_row_span(plane_matrices, H: int, W: int, band_h: int = BAND_H):
     ys = ys * (H - 1.0) / H
     in_bounds = (ys > -1.0) & (ys < jnp.float32(H))
     ys_in = jnp.where(in_bounds, ys, jnp.float32(H))
-    lo = jnp.clip(jnp.floor(jnp.min(ys_in, axis=-1)), 0, H - band_h)
+    lo_f = jnp.floor(jnp.min(ys_in, axis=-1))
     ys_hi = jnp.where(in_bounds, ys, -1.0)
     hi = jnp.clip(jnp.floor(jnp.max(ys_hi, axis=-1)) + 1.0, 0, H - 1)
+    return lo_f, hi
+
+
+def max_row_span(plane_matrices, H: int, W: int, band_h: int = BAND_H):
+    """Max rows of band coverage any (plane, row) needs. The Pallas kernel
+    with band ``band_h`` is exact iff this is <= band_h; only in-bounds
+    samples count (mirrors the kernel's masked band minimum)."""
+    lo_f, hi = _row_extremes(plane_matrices, H, W)
+    lo = jnp.clip(lo_f, 0, H - band_h)
     return jnp.max(hi - lo) + 1.0
+
+
+def max_row_spans(plane_matrices, H: int, W: int, band_hs):
+    """Spans for several candidate band sizes from ONE coordinate
+    evaluation (the field eval dominates the check's cost)."""
+    lo_f, hi = _row_extremes(plane_matrices, H, W)
+    return [
+        jnp.max(hi - jnp.clip(lo_f, 0, H - b)) + 1.0 for b in band_hs
+    ]
