@@ -151,6 +151,9 @@ def main():
     ap.add_argument("--multihost", action="store_true",
                     help="initialize jax.distributed (multi-host training; "
                          "same pjit program, grads all-reduce over ICI/DCN)")
+    ap.add_argument("--data-workers", type=int, default=1,
+                    help="crawler worker processes (fork-based; >1 is unsafe "
+                         "after device-backend init — crawling is fast anyway)")
     args = ap.parse_args()
 
     if args.multihost:
@@ -168,6 +171,7 @@ def main():
         overrides["epochs"] = args.epochs
     if args.image_size is not None:
         overrides["image_width"], overrides["image_height"] = args.image_size
+    overrides["data_pipeline_workers"] = args.data_workers
     cfg = TrainConfig(**overrides)
 
     run_dir = os.path.join(args.run_directory, time.strftime("%Y%m%d-%H%M%S"))
