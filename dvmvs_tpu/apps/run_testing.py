@@ -123,8 +123,7 @@ def main():
 
     cfg = TestConfig(n_measurement_frames=args.n_measurement_frames)
 
-    variables = None
-    engine = InferenceEngine(args.model, cfg, variables=None)
+    engine = InferenceEngine(args.model, cfg)
     if args.checkpoint:
         from dvmvs_tpu.utils.checkpoint import load_checkpoint
         engine.variables = load_checkpoint(args.checkpoint, engine.variables)

@@ -13,5 +13,10 @@ from dvmvs_tpu.ops.sampling import (
     resize_bilinear_align_corners,
     resize_nearest,
 )
-from dvmvs_tpu.ops.cost_volume import cost_volume_fused, plane_sweep_cost_volume
-from dvmvs_tpu.ops.warp import splat_depth_max, warp_frame_depth
+from dvmvs_tpu.ops.cost_volume import (
+    cost_volume_fused,
+    plane_sweep_cost_volume,
+    plane_sweep_cost_volume_banded,
+    plane_sweep_cost_volume_train,
+)
+from dvmvs_tpu.ops.warp import splat_depth_max, splat_depth_soft, warp_frame_depth
