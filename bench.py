@@ -1,6 +1,6 @@
 """Benchmark: fusionnet online depth throughput at 320x256 on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 Methodology: the per-step device time of the jitted recurrent prediction
 step (features for ref+2 measurement views -> plane-sweep cost volume ->
@@ -10,12 +10,19 @@ required because this sandbox reaches the TPU through an RPC relay with a
 ~34 ms fixed round-trip that (a) is not chip time and (b) reports
 block_until_ready early; see .claude/skills/verify/SKILL.md.
 
+LIVE GEOMETRY: per-step camera poses are threaded through the scan as
+INPUTS (a realistic SE(3) random walk with keyframe-like spacing), not
+closure constants — so the cost-volume band selection
+(ops/cost_volume.py span switch), plane matrices, splat and hidden-warp
+grids are all computed at runtime per frame, exactly as in the online
+driver. The JSON also reports the trajectory's band-8/band-16/gather hit
+rates and an MFU estimate from XLA's compiled flop count.
+
 Baseline: the reference system's poster reports ~25-35 FPS at 320x256 on an
 unspecified GPU (BASELINE.md); vs_baseline is against 30 FPS.
 """
 
 import json
-import sys
 import time
 
 import numpy as np
@@ -23,6 +30,77 @@ import numpy as np
 BASELINE_FPS = 30.0
 N_STEPS = 50
 WARMUP_REPS = 2
+
+# bf16 MXU peak per chip by device_kind substring (the terminal enables
+# --xla_allow_excess_precision, so f32 convs run 1-pass bf16 on the MXU).
+PEAK_FLOPS = {
+    "v6": 918e12,
+    "v5p": 459e12,
+    "v5": 197e12,  # v5e / "TPU v5 lite"
+    "v4": 275e12,
+}
+
+
+def make_trajectory(n: int, rs: np.random.RandomState,
+                    t_step: float = 0.12, rot_deg: float = 4.0) -> np.ndarray:
+    """(n, 4, 4) camera-to-world random walk with keyframe-like spacing:
+    ~t_step m translation + ~rot_deg deg rotation per accepted keyframe
+    (the online buffer accepts at combined pose distance >= 0.1,
+    utils/keyframe_buffer.py)."""
+    poses = [np.eye(4, dtype=np.float64)]
+    for _ in range(n - 1):
+        axis = rs.randn(3)
+        axis /= np.linalg.norm(axis)
+        ang = np.deg2rad(rot_deg * rs.uniform(0.5, 1.5))
+        K_ = np.array([[0, -axis[2], axis[1]],
+                       [axis[2], 0, -axis[0]],
+                       [-axis[1], axis[0], 0]])
+        R = np.eye(3) + np.sin(ang) * K_ + (1 - np.cos(ang)) * (K_ @ K_)
+        step = np.eye(4)
+        step[:3, :3] = R
+        d = rs.randn(3)
+        step[:3, 3] = d / np.linalg.norm(d) * t_step * rs.uniform(0.8, 1.2)
+        poses.append(poses[-1] @ step)
+    return np.stack(poses).astype(np.float32)
+
+
+def band_hit_rates(traj, K, H, W, n_levels, min_d, max_d):
+    """Fraction of steps taking each band tier / the gather path (the
+    lax.switch ladder in ops/cost_volume.py). Returns (tiers, rates) with
+    rates[len(tiers)] = gather."""
+    import jax
+    import jax.numpy as jnp
+
+    from dvmvs_tpu.ops.cost_volume import inverse_depth_planes
+    from dvmvs_tpu.ops.pallas.cost_volume_kernel import (
+        BAND_TIERS,
+        build_plane_matrices,
+        max_row_spans,
+    )
+
+    inv_d = inverse_depth_planes(min_d, max_d, n_levels)
+    h, w = H // 2, W // 2
+    tiers = [b for b in BAND_TIERS if b <= h]
+    Kh = K.copy()
+    Kh[:2] /= 2.0
+
+    @jax.jit
+    def spans_for(ref_pose, meas_pose):
+        Ms = build_plane_matrices(ref_pose, meas_pose, jnp.asarray(Kh), inv_d)
+        return jnp.stack(max_row_spans(Ms, h, w, tuple(tiers)))
+
+    counts = [0] * (len(tiers) + 1)
+    for t in range(2, len(traj)):
+        spans = np.max(np.stack([
+            np.asarray(spans_for(jnp.asarray(traj[t]), jnp.asarray(traj[m])))
+            for m in (t - 1, t - 2)]), axis=0)
+        idx = len(tiers)
+        for i in range(len(tiers) - 1, -1, -1):
+            if spans[i] <= tiers[i]:
+                idx = i
+        counts[idx] += 1
+    n = max(1, len(traj) - 2)
+    return tiers, [c / n for c in counts]
 
 
 def main():
@@ -33,61 +111,105 @@ def main():
 
     setup_jax()
 
-    from dvmvs_tpu.models.fusionnet import FusionNet
-
-    from __graft_entry__ import _example_inputs
-
-    model = FusionNet()
-    args = _example_inputs()
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *args)
-    ref, meas, pose, mposes, K, carry, prev_pose, hyp = args
-
-    # Distinct per-step frames so XLA cannot hoist the feature extraction
-    # out of the scan, and the FULL recurrent state threaded through the
-    # carry — including the previous depth map feeding the next step's
-    # forward-splat hypothesis — so nothing is dead-code-eliminated. This is
-    # exactly the online engine's per-frame device work.
+    from dvmvs_tpu.models.fusionnet import FusionNet, init_lstm_carry
     from dvmvs_tpu.models.pairnet import scale_intrinsics
-    from dvmvs_tpu.ops.sampling import resize_nearest
-    from dvmvs_tpu.ops.warp import splat_depth_max
+    from dvmvs_tpu.ops.warp import splat_depth_max_strided
+
+    B, H, W, V = 1, 256, 320, 2
+    model = FusionNet()
 
     rs = np.random.RandomState(1)
-    refs = jnp.asarray(rs.randn(N_STEPS, *ref.shape[1:]).astype(np.float32))
-    meass = jnp.asarray(rs.randn(N_STEPS, *meas.shape[1:]).astype(np.float32))
-    H, W = ref.shape[1:3]
+    traj = make_trajectory(N_STEPS + V, rs)
+    K_np = np.array([[259.0, 0, W / 2], [0, 259.5, H / 2], [0, 0, 1]], np.float32)
 
-    def many(variables, carry):
-        prev_depth0 = jnp.zeros((1, H, W), jnp.float32)
+    refs = jnp.asarray(rs.randn(N_STEPS, H, W, 3).astype(np.float32))
+    meass = jnp.asarray(rs.randn(N_STEPS, V, H, W, 3).astype(np.float32))
+    # per-step ref pose + the previous two keyframes as measurement views
+    ref_poses = jnp.asarray(traj[V:])                       # (N, 4, 4)
+    meas_poses = jnp.asarray(
+        np.stack([np.stack([traj[t - 1], traj[t - 2]]) for t in range(V, len(traj))]))
+    K = jnp.asarray(K_np[None])
+    carry0 = init_lstm_carry(B, H, W)
+
+    # init with step-0 geometry
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), refs[0][None], meass[0][None], ref_poses[0][None],
+        meas_poses[0][None], K, carry0, ref_poses[0][None],
+        jnp.zeros((B, H // 32, W // 32), jnp.float32))
+
+    # Distinct per-step frames AND per-step poses so XLA can neither hoist
+    # the feature extraction nor constant-fold the geometry (band selection,
+    # plane matrices, splat/hidden-warp grids are runtime work); the FULL
+    # recurrent state — including the previous depth feeding the next step's
+    # forward-splat hypothesis — rides the carry so nothing is DCE'd. This
+    # is exactly the online engine's per-frame device work.
+    def many(variables, carry, K):
+        prev_depth0 = jnp.zeros((B, H, W), jnp.float32)
+        prev_pose0 = ref_poses[0][None]
 
         def body(state, x):
-            c, prev_depth = state
-            r, m = x
+            c, prev_depth, prev_pose = state
+            r, m, rp, mp = x
+            rp, mp = rp[None], mp[None]
             half_K = scale_intrinsics(K, 0.5)
-            splat = splat_depth_max(prev_depth, prev_pose, pose, K, half_K,
-                                    H // 2, W // 2)
-            hyp_t = resize_nearest(splat, H // 32, W // 32)
+            hyp = splat_depth_max_strided(
+                prev_depth, prev_pose, rp, K, half_K, H // 32, W // 32, 16)
             depths, c2 = model.apply(
-                variables, r[None], m[None], pose, mposes, K, c, prev_pose, hyp_t)
-            return (c2, depths[0]), depths[0][0, 0, 0]
-        _, outs = jax.lax.scan(body, (carry, prev_depth0), (refs, meass))
+                variables, r[None], m[None], rp, mp, K, c, prev_pose, hyp)
+            return (c2, depths[0], rp), depths[0][0, 0, 0]
+
+        _, outs = jax.lax.scan(
+            body, (carry, prev_depth0, prev_pose0), (refs, meass, ref_poses, meas_poses))
         return outs
 
     many_j = jax.jit(many)
-    np.asarray(many_j(variables, carry))  # compile + warm
+    lowered = many_j.lower(variables, carry0, K)
+    compiled = lowered.compile()
+    np.asarray(many_j(variables, carry0, K))  # warm
     times = []
     for _ in range(WARMUP_REPS + 3):
         t0 = time.perf_counter()
-        np.asarray(many_j(variables, carry))  # readback forces completion
+        np.asarray(many_j(variables, carry0, K))  # readback forces completion
         times.append(time.perf_counter() - t0)
     dt = min(times[WARMUP_REPS:])
     per_step_ms = dt / N_STEPS * 1000.0
     fps = 1000.0 / per_step_ms
 
+    extras = {}
+    tiers, rates = band_hit_rates(
+        traj, K_np, H, W, model.n_depth_levels, model.min_depth, model.max_depth)
+    for b, r in zip(tiers, rates):
+        extras[f"band{b}_rate"] = round(r, 3)
+    extras["gather_rate"] = round(rates[-1], 3)
+    try:
+        # XLA's cost analysis does NOT count custom-call (Pallas) flops; the
+        # banded kernel's dominant matmul is 2*band*C*W^2 MACs per
+        # (plane, row, view), weighted by the trajectory's tier mix.
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        xla_flops = float(ca.get("flops", 0.0)) / N_STEPS
+        h, w, C, P, Vv = H // 2, W // 2, 32, model.n_depth_levels, V
+        pallas_flops = sum(
+            r * (2.0 * b * C * w * w * h * P * Vv)
+            for b, r in zip(tiers, rates))
+        flops_per_step = xla_flops + pallas_flops
+        kind = jax.devices()[0].device_kind.lower()
+        peak = next((v for k, v in PEAK_FLOPS.items() if k in kind), None)
+        extras["gflops_per_frame"] = round(flops_per_step / 1e9, 2)
+        if peak and flops_per_step > 0:
+            extras["mfu_pct"] = round(
+                100.0 * flops_per_step / (per_step_ms / 1e3) / peak, 2)
+            extras["device_kind"] = jax.devices()[0].device_kind
+    except Exception:
+        pass
+
     print(json.dumps({
-        "metric": "fusionnet_online_fps_320x256",
+        "metric": "fusionnet_online_fps_320x256_live_geometry",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        **extras,
     }))
 
 

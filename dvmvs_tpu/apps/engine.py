@@ -32,8 +32,7 @@ import jax.numpy as jnp
 from dvmvs_tpu.config import TestConfig
 from dvmvs_tpu.models.fusionnet import FusionNet, LSTMCarry, init_lstm_carry
 from dvmvs_tpu.models.pairnet import PairNet, scale_intrinsics
-from dvmvs_tpu.ops.sampling import resize_nearest
-from dvmvs_tpu.ops.warp import splat_depth_max
+from dvmvs_tpu.ops.warp import splat_depth_max_strided
 
 
 class InferenceEngine:
@@ -101,8 +100,11 @@ class InferenceEngine:
                              carry, prev_pose, prev_depth, has_prev):
         H, W = self.H, self.W
         half_K = scale_intrinsics(K, 0.5)
-        splat = splat_depth_max(prev_depth, prev_pose, ref_pose, K, half_K, H // 2, W // 2)
-        hyp = resize_nearest(splat, H // 32, W // 32) * has_prev
+        # Bit-exact fusion of the half-res splat + nearest x1/16 downsample
+        # (only stride-16 sites of the half-res grid survive the resize).
+        splat = splat_depth_max_strided(
+            prev_depth, prev_pose, ref_pose, K, half_K, H // 32, W // 32, 16)
+        hyp = splat * has_prev
         depths, carry = self.model.apply(
             variables, ref_image, ref_feats, meas_half, ref_pose, meas_poses,
             K, carry, prev_pose, hyp, view_mask, method="predict_depth",

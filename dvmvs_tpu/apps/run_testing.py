@@ -102,6 +102,21 @@ def evaluate_scene(
         timer.record_end_time_and_elapsed_time()
         predictions.append(depth)
 
+        if cfg.visualize:
+            # reference Config.test_visualize (fusionnet/run-testing.py)
+            from dvmvs_tpu.utils import visualization as viz
+
+            meas_image = preprocessor.apply_rgb(
+                load_image(os.path.join(images_dir, meas_names[0])),
+                SCALE_RGB, MEAN_RGB, STD_RGB)
+            if viz.display_available():
+                viz.visualize_predictions(
+                    ref_image, meas_image, depth, MEAN_RGB, STD_RGB, SCALE_RGB)
+            else:
+                viz.save_visualization(
+                    "visualizations", len(predictions) - 1, ref_image,
+                    meas_image, depth, MEAN_RGB, STD_RGB, SCALE_RGB)
+
     timer.print_statistics()
     return predictions, reference_depths
 
@@ -119,9 +134,12 @@ def main():
     ap.add_argument("--n-measurement-frames", type=int, default=2)
     ap.add_argument("--no-evaluate", action="store_true")
     ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--visualize", action="store_true",
+                    help="live cv2 windows (or PNG panels when headless)")
     args = ap.parse_args()
 
-    cfg = TestConfig(n_measurement_frames=args.n_measurement_frames)
+    cfg = TestConfig(n_measurement_frames=args.n_measurement_frames,
+                     visualize=args.visualize)
 
     engine = InferenceEngine(args.model, cfg)
     if args.checkpoint:

@@ -87,12 +87,12 @@ def predict_scene(
                 perform_crop=cfg.perform_crop,
             )
 
-        # Keyframe entry: (pose, cached half-res features on device)
+        # Keyframe entry: (pose, cached half-res features on device[, image])
         response = buf.try_new_keyframe(pose, None)
         if response == 0:
             image = preprocessor.apply_rgb(image_raw, SCALE_RGB, MEAN_RGB, STD_RGB)
             f_half = engine.encode(image)[0]
-            buf.buffer[-1] = (pose, f_half)
+            buf.buffer[-1] = (pose, f_half, image if cfg.visualize else None)
             continue
         if response in (2, 4, 5):
             continue
@@ -116,8 +116,21 @@ def predict_scene(
         depth, f_half = engine.encode_and_predict(
             image, meas_half, pose, meas_poses, updated_K)
         timer.record_end_time_and_elapsed_time()
-        buf.buffer[-1] = (pose, f_half)
+        buf.buffer[-1] = (pose, f_half, image if cfg.visualize else None)
         predictions.append(depth)
+
+        if cfg.visualize:
+            # reference Config.test_visualize (run-testing-online.py:216-221)
+            from dvmvs_tpu.utils import visualization as viz
+
+            meas_image = measurement_frames[0][2]
+            if viz.display_available():
+                viz.visualize_predictions(
+                    image, meas_image, depth, MEAN_RGB, STD_RGB, SCALE_RGB)
+            else:
+                viz.save_visualization(
+                    "visualizations", len(predictions) - 1, image, meas_image,
+                    depth, MEAN_RGB, STD_RGB, SCALE_RGB)
 
     timer.print_statistics()
     return predictions, reference_depths
@@ -135,9 +148,12 @@ def main():
     ap.add_argument("--n-measurement-frames", type=int, default=2)
     ap.add_argument("--no-evaluate", action="store_true")
     ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--visualize", action="store_true",
+                    help="live cv2 windows (or PNG panels when headless)")
     args = ap.parse_args()
 
-    cfg = TestConfig(n_measurement_frames=args.n_measurement_frames)
+    cfg = TestConfig(n_measurement_frames=args.n_measurement_frames,
+                     visualize=args.visualize)
     engine = InferenceEngine(args.model, cfg)
     if args.checkpoint:
         from dvmvs_tpu.utils.checkpoint import load_checkpoint

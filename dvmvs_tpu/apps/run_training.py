@@ -136,7 +136,13 @@ def main():
     ap.add_argument("--warm-start", default=None, help="checkpoint to initialize from")
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--epochs", type=int, default=None)
-    ap.add_argument("--finetune-epochs", type=int, default=1)
+    ap.add_argument("--finetune-epochs", type=int, default=None,
+                    help="epochs per non-final unfreeze stage (default: the "
+                         "reference schedule — 2 for pairnet, 1 for fusionnet)")
+    ap.add_argument("--print-frequency", type=int, default=None,
+                    help="log every N steps (default TrainConfig.print_frequency)")
+    ap.add_argument("--no-validate", action="store_true",
+                    help="skip per-epoch validation (checkpoint every epoch)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--n-devices", type=int, default=None)
     ap.add_argument("--image-size", type=int, nargs=2, default=None,
@@ -151,13 +157,22 @@ def main():
     ap.add_argument("--multihost", action="store_true",
                     help="initialize jax.distributed (multi-host training; "
                          "same pjit program, grads all-reduce over ICI/DCN)")
+    ap.add_argument("--coordinator-address", default=None,
+                    help="host:port for jax.distributed (omit on TPU pods / "
+                         "managed clusters, where it is auto-detected)")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     ap.add_argument("--data-workers", type=int, default=1,
                     help="crawler worker processes (fork-based; >1 is unsafe "
                          "after device-backend init — crawling is fast anyway)")
     args = ap.parse_args()
 
     if args.multihost:
-        jax.distributed.initialize()
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
         print(f"distributed: process {jax.process_index()}/{jax.process_count()}")
 
     kind = args.model
@@ -172,6 +187,13 @@ def main():
     if args.image_size is not None:
         overrides["image_width"], overrides["image_height"] = args.image_size
     overrides["data_pipeline_workers"] = args.data_workers
+    overrides["finetune_epochs"] = (
+        args.finetune_epochs if args.finetune_epochs is not None
+        else (2 if kind == "pairnet" else 1))
+    if args.print_frequency is not None:
+        overrides["print_frequency"] = args.print_frequency
+    if args.no_validate:
+        overrides["validate"] = False
     cfg = TrainConfig(**overrides)
 
     run_dir = os.path.join(args.run_directory, time.strftime("%Y%m%d-%H%M%S"))
@@ -233,22 +255,26 @@ def main():
         eval_fn = make_eval_step(model, kind=kind)
 
         last_stage = stage_i == len(stages) - 1
-        n_epochs = (cfg.epochs - epoch) if last_stage else args.finetune_epochs
+        n_epochs = (cfg.epochs - epoch) if last_stage else cfg.finetune_epochs
         for _ in range(n_epochs):
             print(f"\nEPOCH {epoch} (stage {stage_i}: {modules})")
-            state, meter = run_epoch(step_fn, state, train_set, cfg, mesh,
-                                     args.seed + epoch, kind,
-                                     print_frequency=2 if args.max_steps else 100,
-                                     max_steps=args.max_steps, logger=logger)
-            losses = validate(eval_fn, state, val_set, cfg,
-                              viz_dir=os.path.join(run_dir, "panels"),
-                              model=model, kind=kind, epoch=epoch)
-            print(f"  validation l1/l1-inv/l1-rel/huber: "
-                  + " ".join(f"{l:.4f}" for l in losses))
-            logger.log(int(state.step), "validation", dict(
-                zip(("l1", "l1_inv", "l1_rel", "huber"), losses)))
-            if any(l < b for l, b in zip(losses, best_loss)):
-                best_loss = [min(l, b) for l, b in zip(losses, best_loss)]
+            state, meter = run_epoch(
+                step_fn, state, train_set, cfg, mesh, args.seed + epoch, kind,
+                print_frequency=2 if args.max_steps else cfg.print_frequency,
+                max_steps=args.max_steps, logger=logger)
+            improved = True
+            if cfg.validate:
+                losses = validate(eval_fn, state, val_set, cfg,
+                                  viz_dir=os.path.join(run_dir, "panels"),
+                                  model=model, kind=kind, epoch=epoch)
+                print(f"  validation l1/l1-inv/l1-rel/huber: "
+                      + " ".join(f"{l:.4f}" for l in losses))
+                logger.log(int(state.step), "validation", dict(
+                    zip(("l1", "l1_inv", "l1_rel", "huber"), losses)))
+                improved = any(l < b for l, b in zip(losses, best_loss))
+                if improved:
+                    best_loss = [min(l, b) for l, b in zip(losses, best_loss)]
+            if improved:
                 ckpt = os.path.join(run_dir, f"{kind}_epoch{epoch}.msgpack")
                 save_checkpoint(ckpt, {
                     "params": jax.device_get(state.params),

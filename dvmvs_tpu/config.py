@@ -65,11 +65,10 @@ class TrainConfig:
     adam_beta2: float = 0.999
     weight_decay: float = 0.0
     loss_type: str = "L1-inv"
+    # epochs per non-final unfreeze stage; the reference trains pairnet's
+    # first stage for 2 epochs and fusionnet's first two stages for 1 each
+    # (pairnet/run-training.py:31, fusionnet/run-training.py:30)
     finetune_epochs: int = 1
-
-    # TPU-specific
-    compute_dtype: str = "bfloat16"
-    data_parallel_devices: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -87,9 +86,6 @@ class TestConfig:
     keyframe_pose_distance: float = 0.1
     optimal_t_measure: float = 0.15
     optimal_R_measure: float = 0.0
-
-    # TPU-specific
-    compute_dtype: str = "float32"
 
     @property
     def image_size(self) -> Tuple[int, int]:

@@ -19,4 +19,9 @@ from dvmvs_tpu.ops.cost_volume import (
     plane_sweep_cost_volume_banded,
     plane_sweep_cost_volume_train,
 )
-from dvmvs_tpu.ops.warp import splat_depth_max, splat_depth_soft, warp_frame_depth
+from dvmvs_tpu.ops.warp import (
+    splat_depth_max,
+    splat_depth_max_strided,
+    splat_depth_soft,
+    warp_frame_depth,
+)

@@ -297,8 +297,7 @@ def cost_volume_fused(
             plane_chunk)
 
     from dvmvs_tpu.ops.pallas.cost_volume_kernel import (
-        BAND_H,
-        BAND_H_SMALL,
+        BAND_TIERS,
         build_plane_matrices,
         max_row_spans,
         pallas_plane_sweep_multiview,
@@ -309,10 +308,10 @@ def cost_volume_fused(
         jax.vmap(build_plane_matrices, in_axes=(None, 0, None, None)),
         in_axes=(0, 0, 0, None),
     )(ref_pose, meas_poses, K, inv_depths)  # (B, V, P, 3, 3)
+    tiers = [b for b in BAND_TIERS if b <= H]
     spans = jax.vmap(jax.vmap(
-        lambda m: jnp.stack(max_row_spans(m, H, W, (BAND_H_SMALL, BAND_H)))))(Ms)
-    span_small = jnp.max(spans[..., 0])
-    span_big = jnp.max(spans[..., 1])
+        lambda m: jnp.stack(max_row_spans(m, H, W, tuple(tiers)))))(Ms)
+    tier_span = [jnp.max(spans[..., i]) for i in range(len(tiers))]
 
     if view_mask is None:
         weights = jnp.full((B, V), 1.0 / V, jnp.float32)
@@ -339,10 +338,14 @@ def cost_volume_fused(
             min_depth, max_depth, n_depth_levels, dot_product, view_mask,
             plane_chunk)
 
-    # Pick the cheapest exact implementation for this frame's geometry:
-    # small band (translation-dominated, the common case) -> big band
-    # (moderate roll) -> gather fallback (extreme rotation).
-    index = jnp.where(span_small <= BAND_H_SMALL, 0,
-                      jnp.where(span_big <= BAND_H, 1, 2))
+    # Pick the cheapest exact implementation for this frame's geometry: the
+    # smallest band tier whose y-span check passes (kernel cost scales
+    # linearly with band height), falling back to the XLA gather path only
+    # under extreme inter-view rotation. Real trajectories need the large
+    # tiers often: on the hololens sample's keyframes the per-row source
+    # span is 27 px at the median and 53 at p90 (see docs/PERF.md).
+    index = jnp.full((), len(tiers), jnp.int32)  # default: gather
+    for i in range(len(tiers) - 1, -1, -1):
+        index = jnp.where(tier_span[i] <= tiers[i], i, index)
     return jax.lax.switch(
-        index, [pallas_branch(BAND_H_SMALL), pallas_branch(BAND_H), gather_branch])
+        index, [pallas_branch(b) for b in tiers] + [gather_branch])

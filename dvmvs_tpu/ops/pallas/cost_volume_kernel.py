@@ -42,6 +42,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 BAND_H = 16       # default source rows per band (max supported roll)
 BAND_H_SMALL = 8  # fast-path band for translation-dominated motion
+# Runtime tier ladder: kernel cost scales linearly with band height, so the
+# callers pick the smallest tier whose span check passes. Real trajectories
+# (hololens keyframes) need 32/64 often — the gather fallback costs ~21 ms
+# per view at 320x256 while band-64 stays on the MXU at a fraction of that.
+BAND_TIERS = (BAND_H_SMALL, BAND_H, 32, 64)
 ROW_BLOCK = 8     # output rows per grid step
 
 

@@ -97,6 +97,54 @@ def splat_depth_max(
     return out.reshape(B, out_height, out_width)
 
 
+def splat_depth_max_strided(
+    previous_depth: jnp.ndarray,
+    previous_pose: jnp.ndarray,
+    current_pose: jnp.ndarray,
+    full_K: jnp.ndarray,
+    half_K: jnp.ndarray,
+    out_height: int,
+    out_width: int,
+    stride: int,
+) -> jnp.ndarray:
+    """Forward splat directly onto a strided sub-grid — bit-exact fusion of
+    ``resize_nearest(splat_depth_max(..., out_height*stride, out_width*stride),
+    out_height, out_width)``.
+
+    The inference drivers only consume the splat after a nearest
+    x1/16 downsample to the 1/32 LSTM grid (reference:
+    fusionnet/run-testing-online.py:194-198 interpolates the half-res
+    rectangle estimate by scale 1/16). Nearest downsampling by ``stride``
+    reads source pixel (stride*i, stride*j) exactly, so only points whose
+    ROUNDED projection lands on a stride-multiple site can influence the
+    result. This skips the large scatter-max buffer and the resize: a dense
+    masked max over the out_height*out_width slots (VPU-friendly compare +
+    reduce, no scatter).
+    """
+    B = previous_depth.shape[0]
+    trans = jnp.linalg.inv(current_pose) @ previous_pose  # prev-cam -> cur-cam
+
+    points_prev = depth_to_3d(previous_depth, full_K)
+    points_cur = transform_points(trans, points_prev).reshape(B, -1, 3)
+    z = jax.nn.relu(points_cur[..., 2])
+    points_cur = jnp.concatenate([points_cur[..., :2], z[..., None]], axis=-1)
+
+    uv = jnp.round(project_points(points_cur, half_K)).astype(jnp.int32)
+    x, y = uv[..., 0], uv[..., 1]
+    n_pix = out_height * out_width
+    valid = (
+        (x >= 0) & (y >= 0)
+        & (x < out_width * stride) & (y < out_height * stride)
+        & (x % stride == 0) & (y % stride == 0)
+    )
+    lin = jnp.where(valid, (y // stride) * out_width + (x // stride), n_pix)
+
+    iota = jnp.arange(n_pix, dtype=jnp.int32)
+    contrib = jnp.where(lin[:, :, None] == iota[None, None, :], z[:, :, None], 0.0)
+    out = jnp.max(contrib, axis=1)  # (B, n_pix); unhit pixels are 0
+    return out.reshape(B, out_height, out_width)
+
+
 def splat_depth_soft(
     previous_depth: jnp.ndarray,
     previous_pose: jnp.ndarray,

@@ -1,0 +1,137 @@
+"""End-to-end driver tests: the full L4->L6 path on a tiny synthetic scene.
+
+Covers what module tests can't: preprocess -> keyframe buffer -> fused
+encode+predict (engine state handling incl. tracking-lost reset) -> metrics
+-> npz save format -> TSDF reconstruction consuming the saved npz.
+(Reference behavior: fusionnet/run-testing-online.py:102-231,
+run-testing.py:95-108, sample-data/run-tsdf-reconstruction.py:477-662.)
+"""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from dvmvs_tpu.config import DepthConfig, TestConfig
+
+H_SRC, W_SRC = 64, 96  # source frame size == test size (no crop/resize work)
+N_FRAMES = 26
+LOST_START, LOST_END = 10, 16  # NaN-pose segment (tracking lost mid-scene)
+
+
+@pytest.fixture(scope="module")
+def png_scene(tmp_path_factory):
+    """Canonical scene layout (images/ depth/ poses.txt K.txt) translating
+    along +x with a NaN-pose segment in the middle."""
+    root = tmp_path_factory.mktemp("testset")
+    scene = root / "tinyset" / "000"
+    (scene / "images").mkdir(parents=True)
+    (scene / "depth").mkdir()
+    rs = np.random.RandomState(7)
+    poses = []
+    for i in range(N_FRAMES):
+        pose = np.eye(4)
+        pose[0, 3] = 0.12 * i
+        pose[1, 3] = 0.01 * rs.randn()
+        if LOST_START <= i < LOST_END:
+            pose[:] = np.nan
+        poses.append(pose.reshape(-1))
+        image = rs.randint(0, 255, (H_SRC, W_SRC, 3)).astype(np.uint8)
+        cv2.imwrite(str(scene / "images" / f"{i:05d}.png"),
+                    cv2.cvtColor(image, cv2.COLOR_RGB2BGR))
+        depth_mm = rs.uniform(1500, 3500, (H_SRC, W_SRC)).astype(np.uint16)
+        cv2.imwrite(str(scene / "depth" / f"{i:05d}.png"), depth_mm)
+    np.savetxt(scene / "poses.txt", np.array(poses))
+    K = np.array([[70.0, 0, W_SRC / 2], [0, 70.0, H_SRC / 2], [0, 0, 1]])
+    np.savetxt(scene / "K.txt", K)
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return TestConfig(
+        image_width=W_SRC,
+        image_height=H_SRC,
+        depth=DepthConfig(min_depth=0.25, max_depth=20.0, n_depth_levels=64),
+        n_measurement_frames=2,
+    )
+
+
+def test_predict_scene_online_fusionnet_with_tracking_lost(
+        png_scene, tiny_cfg, monkeypatch):
+    """Online driver on the NaN-segment scene: keyframe buffer declares
+    tracking lost (shortened limit), the engine state resets, and prediction
+    resumes after recovery — the reference's run-testing-online.py:110-114
+    behavior."""
+    import dvmvs_tpu.utils.keyframe_buffer as kb
+    from dvmvs_tpu.apps.engine import InferenceEngine
+    from dvmvs_tpu.apps.run_testing_online import predict_scene
+
+    monkeypatch.setattr(kb, "TRACKING_LOST_LIMIT", 3)
+
+    engine = InferenceEngine("fusionnet", tiny_cfg)
+    scene = os.path.join(png_scene, "tinyset", "000")
+    predictions, gts = predict_scene(engine, scene, tiny_cfg, evaluate=True)
+
+    # frames 0..9 walk at 0.12 m/step (> keyframe distance 0.1): first frame
+    # seeds the buffer, then every frame is a keyframe with measurements.
+    # After the NaN segment the buffer was cleared and state reset; the walk
+    # resumes, so predictions must also come from the post-lost segment.
+    assert len(predictions) >= (LOST_START - 1) + (N_FRAMES - LOST_END - 1)
+    for p in predictions:
+        assert p.shape == (H_SRC, W_SRC)
+        assert np.isfinite(p).all()
+        assert (p >= tiny_cfg.depth.min_depth - 1e-5).all()
+        assert (p <= tiny_cfg.depth.max_depth + 1e-5).all()
+    assert gts is not None and len(gts) == len(predictions)
+    # the engine's recurrent state was re-seeded after the reset
+    assert float(engine.has_prev) == 1.0
+
+
+def test_evaluate_scene_offline_save_and_tsdf(png_scene, tiny_cfg, tmp_path):
+    """Offline driver consuming an index file (incl. a TRACKING LOST line),
+    npz-compatible save, then TSDF reconstruction from the saved npz."""
+    from dvmvs_tpu.apps.engine import InferenceEngine
+    from dvmvs_tpu.apps.run_testing import evaluate_scene
+    from dvmvs_tpu.apps.run_tsdf import load_keyframe_data, reconstruct
+    from dvmvs_tpu.utils.results import save_results
+
+    scene = os.path.join(png_scene, "tinyset", "000")
+    indices_dir = os.path.join(png_scene, "indices")
+    os.makedirs(indices_dir, exist_ok=True)
+    index_file = os.path.join(indices_dir, "keyframe+tinyset+000+nmeas+2")
+    with open(index_file, "w") as f:
+        f.write("00002.png 00001.png 00000.png\n")
+        f.write("00004.png 00003.png 00002.png\n")
+        f.write("TRACKING LOST\n")
+        f.write("00008.png 00007.png 00006.png\n")
+
+    engine = InferenceEngine("pairnet", tiny_cfg)
+    predictions, gts = evaluate_scene(engine, scene, index_file, tiny_cfg)
+    assert len(predictions) == 3
+    assert gts is not None and len(gts) == 3
+    for p in predictions:
+        assert p.shape == (H_SRC, W_SRC) and np.isfinite(p).all()
+
+    out = str(tmp_path / "results")
+    mean_errors = save_results(predictions, gts, "sys", "000", out)
+    assert mean_errors is not None and len(mean_errors) == 8
+    pred_npz = os.path.join(out, "sys_predictions_000.npz")
+    err_npz = os.path.join(out, "sys_errors_000.npz")
+    assert os.path.exists(pred_npz) and os.path.exists(err_npz)
+    saved = np.load(pred_npz)["arr_0"]
+    assert saved.shape == (3, H_SRC, W_SRC)
+    assert np.load(err_npz)["arr_0"].shape == (3, 8)
+
+    # TSDF reconstruction from the saved predictions
+    poses, images, depths, scaled_K, original_K, all_poses = load_keyframe_data(
+        scene, index_file, saved, max_depth=20.0, dataset_name="tinyset")
+    assert len(poses) == len(images) == len(depths) == 3
+    mesh_path = str(tmp_path / "recon_complete.ply")
+    volume = reconstruct(poses, images, depths, scaled_K,
+                         voxel_size=0.35, mesh_path=mesh_path)
+    assert os.path.exists(mesh_path)
+    tsdf = np.asarray(volume.tsdf)
+    assert np.isfinite(tsdf).all()
+    assert (tsdf < 0.999).any(), "no voxel was ever updated"

@@ -58,6 +58,40 @@ def test_kernel_matches_gather_reference(rng, euler, t):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4)
 
 
+@pytest.mark.parametrize("euler,t,band", [
+    ([0, 0, 14], [0.1, 0.0, 0.05], 32),   # strong roll -> span in (16, 32]
+    ([8, 0, 25], [0.15, 0.05, 0.1], 64),  # extreme roll -> span in (32, 64]
+])
+def test_large_band_tiers_match_gather_reference(rng, euler, t, band):
+    """The 32/64 band tiers (runtime ladder for rotation-heavy real
+    trajectories, e.g. hololens keyframes with median row-span 27) must stay
+    exact."""
+    from dvmvs_tpu.ops.pallas.cost_volume_kernel import max_row_spans
+
+    H2, W2 = 64, 64  # band-64 needs H >= 64
+    K2 = np.array([[40.0, 0, W2 / 2], [0, 40.0, H2 / 2], [0, 0, 1]], np.float32)
+    ref = rng.randn(H2, W2, C).astype(np.float32)
+    meas = rng.randn(H2, W2, C).astype(np.float32)
+    pose1 = np.eye(4, dtype=np.float32)
+    pose2 = _pose(euler, t)
+    invd = inverse_depth_planes(0.25, 20.0, P)
+    M = build_plane_matrices(
+        jnp.asarray(pose1), jnp.asarray(pose2), jnp.asarray(K2), invd)
+    span_smaller, span_this = (
+        float(s) for s in max_row_spans(M, H2, W2, (band // 2, band)))
+    assert span_smaller > band // 2, "geometry too easy for this tier"
+    assert span_this <= band
+
+    got = pallas_plane_sweep(
+        jnp.asarray(ref), jnp.asarray(meas), M, interpret=True, band_h=band)
+    want = plane_sweep_cost_volume(
+        jnp.asarray(ref)[None], jnp.asarray(meas)[None],
+        jnp.asarray(pose1)[None], jnp.asarray(pose2)[None],
+        jnp.asarray(K2)[None], 0.25, 20.0, P, plane_chunk=4,
+    )[0].transpose(2, 0, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4)
+
+
 def test_span_check_flags_extreme_roll():
     pose1 = np.eye(4, dtype=np.float32)
     pose2 = _pose([0, 0, 35], [0.1, 0, 0])  # 35-degree roll

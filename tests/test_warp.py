@@ -113,6 +113,35 @@ def test_splat_depth_max_matches_oracle(rng):
     np.testing.assert_allclose(np.asarray(got)[0], want, atol=1e-4)
 
 
+def test_splat_strided_matches_splat_plus_nearest_resize(rng):
+    """The fused strided splat must be bit-exact against splat at full
+    half-res + nearest downsample (the reference's interpolate x1/16 chain,
+    fusionnet/run-testing-online.py:194-198)."""
+    from dvmvs_tpu.ops.sampling import resize_nearest
+    from dvmvs_tpu.ops.warp import splat_depth_max_strided
+
+    H, W = 64, 96           # "full res"
+    hh, hw = H // 2, W // 2  # splat grid
+    oh, ow, stride = H // 32, W // 32, 16
+    for trial in range(5):
+        depth = rng.uniform(0.5, 6.0, size=(1, H, W)).astype(np.float32)
+        pa = random_pose(rng, 0.15).astype(np.float32)[None]
+        pb = random_pose(rng, 0.15).astype(np.float32)[None]
+        full_K = np.array(
+            [[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]], np.float32)[None]
+        half_K = full_K.copy()
+        half_K[:, :2] /= 2.0
+
+        big = splat_depth_max(
+            jnp.asarray(depth), jnp.asarray(pa), jnp.asarray(pb),
+            jnp.asarray(full_K), jnp.asarray(half_K), hh, hw)
+        want = np.asarray(resize_nearest(big, oh, ow))
+        got = np.asarray(splat_depth_max_strided(
+            jnp.asarray(depth), jnp.asarray(pa), jnp.asarray(pb),
+            jnp.asarray(full_K), jnp.asarray(half_K), oh, ow, stride))
+        np.testing.assert_array_equal(got, want)
+
+
 def test_splat_zero_depth_gives_zero():
     depth = jnp.zeros((1, 8, 8), dtype=jnp.float32)
     eye = jnp.eye(4, dtype=jnp.float32)[None]
