@@ -1,31 +1,37 @@
 """DELTAS baseline (reference: dvmvs/baselines/deltas/, 3-stage
 sparse-then-dense depth):
 
-  1. SuperPoint interest points + descriptors (superpoint.py:43-248):
-     shared VGG trunk, 65-way detector head with dustbin + depth-to-space,
-     max-pool NMS, fixed-K top-k keypoints, L2-normalized 256-d descriptors
-     sampled at keypoint locations.
-  2. Triangulation (triangulation.py): depth-guided epipolar matching —
-     descriptors sampled along the segment between each keypoint's
-     reprojections at min/max depth in the measurement views, correlated
-     with the reference descriptor, soft-argmax over samples
-     (integrate_tensor_2d), then confidence-weighted multi-view linear DLT
-     triangulation (SVD; triangulation.py:25-60).
-  3. Sparse-to-dense densification (densedepth.py): encoder over
-     image+sparse-depth, ASPP bottleneck, up-projection decoder with skips.
+  1. SuperPoint-style detection/description over a ResNet-50 trunk
+     (superpoint.py:63-190): bottleneck stages expose skip_half/quarter/
+     eighth/sixteenth + 2048-ch features; the detector head (65-way with
+     dustbin + depth-to-space) and descriptor head (concat with skips) run
+     at H/8; iterative max-pool NMS; fixed-K top-k keypoints (static
+     shapes); L2-normalized 256-d descriptors sampled at keypoints.
+  2. Triangulation (triangulation.py:234-560): ROTATED-ROI depth-guided
+     epipolar matching — each keypoint's search region is the epipolar
+     segment between its reprojections at min/max depth, represented as a
+     rotated box (xc, yc, h=2*dist+1, w=len, theta from the fundamental
+     matrix's epiline), sampled as an out_length x (2*dist+1) patch;
+     descriptor correlation + BatchNorm'd match map; learned confidence
+     head (3x3 conv + BN + global max-pool + sigmoid); 2-D soft-argmax
+     (integrate_tensor_2d) mapped back through the ROI transform; then
+     confidence-weighted multi-view linear DLT triangulation (SVD,
+     triangulation.py:25-60).
+  3. Sparse-to-dense densification (densedepth.py:205-355): the learnt
+     sparse depth runs through its own ResNet-50 trunk; its skips are
+     concatenated with the image trunk's skips; Gudi up-projection decoder
+     (5x5 + 3x3 branch with 5x5 shortcut, nearest x2 upsampling) with ASPP
+     at 1/8 and multiscale 1x1 heads.
 
-Documented deviations from the reference (whose pretrained torch weights are
-not portable here anyway): the epipolar search samples S points along the
-segment directly instead of rasterizing rotated ROI patches
-(patch_for_depth_guided_range) — same search geometry, simpler sampler;
-the densifier uses a ResNet-18-depth encoder instead of ResNet-50.
-
-Static shapes throughout: fixed keypoint count K with validity masking.
+The reference's pretrained torch weights are not portable here; parity is
+architectural (same stages, search geometry, heads), with static shapes
+throughout: fixed keypoint count K and fixed patch length with validity
+masking instead of data-dependent keypoint lists.
 """
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Sequence
 
 import numpy as np
 
@@ -37,43 +43,130 @@ from dvmvs_tpu.baselines.registry import DepthEstimator, register_baseline
 from dvmvs_tpu.ops.sampling import grid_sample, resize_bilinear_align_corners
 
 N_KEYPOINTS = 512
-N_EPI_SAMPLES = 64
+OUT_LENGTH = 100       # samples along the epipolar segment (reference out_length)
+DIST_ORTHO = 1         # rows each side of the segment (reference dist_ortogonal)
 MIN_DEPTH, MAX_DEPTH = 0.5, 10.0
+
+
+# --------------------------------------------------------- ResNet-50 trunk
+class Bottleneck(nn.Module):
+    """torchvision-style bottleneck: 1x1 -> 3x3(stride) -> 1x1(x4) + skip."""
+
+    features: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, name=name)
+        y = nn.Conv(self.features, (1, 1), use_bias=False, name="c1")(x)
+        y = nn.relu(bn("bn1")(y))
+        y = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
+                    padding="SAME", use_bias=False, name="c2")(y)
+        y = nn.relu(bn("bn2")(y))
+        y = nn.Conv(self.features * 4, (1, 1), use_bias=False, name="c3")(y)
+        y = bn("bn3")(y)
+        if x.shape[-1] != self.features * 4 or self.stride != 1:
+            x = nn.Conv(self.features * 4, (1, 1), strides=(self.stride,) * 2,
+                        use_bias=False, name="proj")(x)
+            x = bn("bn_proj")(x)
+        return nn.relu(x + y)
+
+
+class ResNet50Trunk(nn.Module):
+    """conv1..layer4 of ResNet-50 ([3,4,6,3] bottlenecks), returning the
+    skip pyramid the reference taps (superpoint.py:131-154):
+    half (64), quarter (256), eighth (512), sixteenth (1024),
+    features (2048 at 1/32)."""
+
+    in_features: int = 3
+    width: int = 64
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        w = self.width
+        x = nn.Conv(w, (7, 7), strides=(2, 2), padding="SAME",
+                    use_bias=False, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         name="bn1")(x)
+        x = nn.relu(x)
+        skip_half = x
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        for i, (blocks, feats, stride) in enumerate(
+                [(3, w, 1), (4, 2 * w, 2), (6, 4 * w, 2), (3, 8 * w, 2)]):
+            for b in range(blocks):
+                x = Bottleneck(feats, stride if b == 0 else 1,
+                               name=f"layer{i + 1}_{b}")(x, train)
+            if i == 0:
+                skip_quarter = x
+            elif i == 1:
+                skip_eighth = x
+            elif i == 2:
+                skip_sixteenth = x
+        return {
+            "half": skip_half, "quarter": skip_quarter, "eighth": skip_eighth,
+            "sixteenth": skip_sixteenth, "features": x,
+        }
 
 
 # ------------------------------------------------------------- SuperPoint
 class SuperPoint(nn.Module):
-    @nn.compact
-    def __call__(self, image):
-        """image (B,H,W,3) -> (scores (B,H,W), descriptors (B,H/8,W/8,256))."""
-        gray = jnp.mean(image, axis=-1, keepdims=True)
-        x = gray
-        chans = [(64, 64), (64, 64), (128, 128), (128, 128)]
-        for i, (c1, c2) in enumerate(chans):
-            x = nn.relu(nn.Conv(c1, (3, 3), padding="SAME", name=f"conv{i}a")(x))
-            x = nn.relu(nn.Conv(c2, (3, 3), padding="SAME", name=f"conv{i}b")(x))
-            if i < 3:
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+    """Detector + descriptor heads over the ResNet-50 trunk
+    (reference superpoint.py:98-190). Returns (scores (B,H8*8,W8*8),
+    descriptors (B,H/8,W/8,256), skips dict)."""
 
-        cPa = nn.relu(nn.Conv(256, (3, 3), padding="SAME", name="convPa")(x))
-        logits = nn.Conv(65, (1, 1), name="convPb")(cPa)  # (B,H/8,W/8,65)
+    descriptor_dim: int = 256
+
+    @nn.compact
+    def __call__(self, image, train: bool = False):
+        B, H, W, _ = image.shape
+        h8, w8 = H // 8, W // 8
+        skips = ResNet50Trunk(name="trunk")(image, train)
+        x = skips["features"]
+        bn = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, name=name)
+
+        # Detector head: convPa/bnPa at 1/32, upsample to 1/8, convPb/convPc
+        cPa = nn.relu(bn("bnPa")(nn.Conv(256, (3, 3), padding="SAME", name="convPa")(x)))
+        cPa = resize_bilinear_align_corners(cPa, h8, w8, align_corners=False)
+        cPa = nn.relu(bn("bnPb")(nn.Conv(128, (3, 3), padding="SAME", name="convPb")(cPa)))
+        logits = nn.Conv(65, (1, 1), name="convPc")(cPa)
+
         probs = jax.nn.softmax(logits, axis=-1)[..., :64]  # drop dustbin
-        B, h8, w8, _ = probs.shape
         scores = probs.reshape(B, h8, w8, 8, 8).transpose(0, 1, 3, 2, 4)
         scores = scores.reshape(B, h8 * 8, w8 * 8)
 
-        cDa = nn.relu(nn.Conv(256, (3, 3), padding="SAME", name="convDa")(x))
-        desc = nn.Conv(256, (1, 1), name="convDb")(cDa)
+        # Descriptor head: convDa at 1/32 -> 1/8, concat skip_eighth, then
+        # convDb/convDc, concat downsampled quarter+half skips, convDd
+        cDa = nn.relu(bn("bnDa")(nn.Conv(128, (3, 3), padding="SAME", name="convDa")(x)))
+        cDa = resize_bilinear_align_corners(cDa, h8, w8, align_corners=False)
+        cDa = jnp.concatenate([cDa, skips["eighth"]], axis=-1)
+        cDa = nn.relu(bn("bnDb")(nn.Conv(256, (1, 1), name="convDb")(cDa)))
+        cDa = nn.relu(bn("bnDc")(nn.Conv(256, (3, 3), padding="SAME", name="convDc")(cDa)))
+        skip4 = resize_bilinear_align_corners(skips["quarter"], h8, w8, align_corners=False)
+        skip2 = resize_bilinear_align_corners(skips["half"], h8, w8, align_corners=False)
+        cDa = jnp.concatenate([cDa, skip4, skip2], axis=-1)
+        desc = nn.Conv(self.descriptor_dim, (1, 1), name="convDd")(cDa)
         desc = desc / (jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-8)
-        return scores, desc
+        return scores, desc, skips
 
 
-def simple_nms(scores: jnp.ndarray, radius: int) -> jnp.ndarray:
-    """Keep only local maxima within a (2r+1) window
-    (reference: superpoint.py:7-26, single-pass form)."""
+def simple_nms(scores: jnp.ndarray, radius: int, iterations: int = 2) -> jnp.ndarray:
+    """Max-pool NMS with the reference's iterative suppression refinement
+    (superpoint.py:7-26): after the initial local-max mask, twice re-detect
+    maxima among unsuppressed pixels."""
     k = 2 * radius + 1
-    pooled = nn.max_pool(scores[..., None], (k, k), strides=(1, 1), padding="SAME")[..., 0]
-    return jnp.where(scores == pooled, scores, 0.0)
+
+    def max_pool(x):
+        return nn.max_pool(x[..., None], (k, k), strides=(1, 1), padding="SAME")[..., 0]
+
+    max_mask = scores == max_pool(scores)
+    for _ in range(iterations):
+        supp_mask = max_pool(max_mask.astype(scores.dtype)) > 0
+        supp_scores = jnp.where(supp_mask, 0.0, scores)
+        new_max_mask = supp_scores == max_pool(supp_scores)
+        max_mask = max_mask | (new_max_mask & (~supp_mask))
+    return jnp.where(max_mask, scores, 0.0)
 
 
 def top_k_keypoints(scores: jnp.ndarray, k: int, border: int):
@@ -90,40 +183,120 @@ def top_k_keypoints(scores: jnp.ndarray, k: int, border: int):
     return kp, vals
 
 
-def sample_descriptors(keypoints: jnp.ndarray, desc: jnp.ndarray, stride: int = 8):
-    """Bilinearly sample L2-normalized descriptors at pixel keypoints
-    (reference: superpoint.py sample at s=8 with align_corners=False grid)."""
-    B, h8, w8, C = desc.shape
-    # map pixel coords to descriptor-grid normalized coords (cell centers)
-    gx = (keypoints[..., 0] - stride / 2 + 0.5) / (w8 * stride - stride) * 2 - 1
-    gy = (keypoints[..., 1] - stride / 2 + 0.5) / (h8 * stride - stride) * 2 - 1
-    grid = jnp.stack([gx, gy], axis=-1)[:, :, None, :]  # (B,K,1,2)
-    out = grid_sample(desc, grid, mode="bilinear", align_corners=True)[:, :, 0, :]
-    return out / (jnp.linalg.norm(out, axis=-1, keepdims=True) + 1e-8)
+def sample_descriptors(points: jnp.ndarray, desc: jnp.ndarray, stride: int = 8,
+                       normalize: bool = True):
+    """Bilinearly sample descriptors at pixel locations (B, N, 2)
+    (reference sample_descriptors_epi, triangulation.py:328-345,
+    align_corners=False convention)."""
+    B, h, w, C = desc.shape
+    kp = points - stride / 2 + 0.5
+    gx = kp[..., 0] / (w * stride - stride / 2 - 0.5) * 2 - 1
+    gy = kp[..., 1] / (h * stride - stride / 2 - 0.5) * 2 - 1
+    grid = jnp.stack([gx, gy], axis=-1)[:, :, None, :]  # (B,N,1,2)
+    out = grid_sample(desc, grid, mode="bilinear", align_corners=False)[:, :, 0, :]
+    if normalize:
+        out = out / (jnp.linalg.norm(out, axis=-1, keepdims=True) + 1e-8)
+    return out
 
 
 # ----------------------------------------------------- epipolar triangulation
-def reproject_at_depth(keypoints, rel_pose, K, depth):
-    """Project ref keypoints assumed at `depth` into the other view
-    (reference: triangulation.py:125-143). keypoints (B,K,2)."""
-    B, Kn, _ = keypoints.shape
-    fx, fy = K[:, 0, 0, None], K[:, 1, 1, None]
-    cx, cy = K[:, 0, 2, None], K[:, 1, 2, None]
-    X = (keypoints[..., 0] - cx) / fx * depth
-    Y = (keypoints[..., 1] - cy) / fy * depth
-    pts = jnp.stack([X, Y, jnp.full_like(X, depth)], axis=-1)  # (B,K,3)
+def fundamental_matrix(rel_pose, K):
+    """F = K^-T [t]x R K^-1, normalized by F[2,2]
+    (reference get_fundamental_matrix, triangulation.py:358-380).
+    rel_pose (B,4,4): measurement <- reference."""
+    Kinv = jnp.linalg.inv(K)
     R = rel_pose[:, :3, :3]
     t = rel_pose[:, :3, 3]
-    cam = jnp.einsum("bij,bkj->bki", R, pts) + t[:, None]
-    z = jnp.maximum(cam[..., 2], 1e-3)
-    u = cam[..., 0] / z * fx + cx
-    v = cam[..., 1] / z * fy + cy
-    return jnp.stack([u, v], axis=-1), z
+    zero = jnp.zeros_like(t[:, 0])
+    t_skew = jnp.stack([
+        zero, -t[:, 2], t[:, 1],
+        t[:, 2], zero, -t[:, 0],
+        -t[:, 1], t[:, 0], zero,
+    ], axis=1).reshape(-1, 3, 3)
+    E = t_skew @ R
+    F = jnp.swapaxes(Kinv, 1, 2) @ E @ Kinv
+    f22 = F[:, 2:, 2:]
+    f22 = jnp.where(f22 == 0.0, 1.0, f22)
+    return F / f22
+
+
+def reproject_at_depth(keypoints, rel_pose, K, depth):
+    """Homogeneous planar reprojection K R K^-1 uv + K t / Z with division
+    by the third coordinate (reference reproject_points,
+    triangulation.py:125-143). keypoints (B,N,2) -> (B,N,2)."""
+    ones = jnp.ones_like(keypoints[..., :1])
+    uv1 = jnp.concatenate([keypoints, ones], axis=-1)  # (B,N,3)
+    A = K @ rel_pose[:, :3, :3] @ jnp.linalg.inv(K)
+    Kt = (K @ rel_pose[:, :3, 3:4])[..., 0]  # (B,3)
+    proj = jnp.einsum("bij,bnj->bni", A, uv1) + Kt[:, None] / depth
+    return proj[..., :2] / proj[..., 2:3]
+
+
+def epipolar_roi(keypoints, rel_pose, K, height, width, min_depth, max_depth):
+    """Rotated-ROI search box per keypoint
+    (reference patch_for_depth_guided_range, triangulation.py:234-325):
+    endpoints = reprojections at min/max depth ordered by x, zeroed unless
+    BOTH endpoints are in bounds (align_corners=False bounds); returns
+    (xc, yc, w, theta) with theta = atan2(-line_a, line_b) from the
+    fundamental-matrix epiline."""
+    F = fundamental_matrix(rel_pose, K)
+    ones = jnp.ones_like(keypoints[..., :1])
+    uv1 = jnp.concatenate([keypoints, ones], axis=-1)
+    lines = jnp.einsum("bij,bnj->bni", F, uv1)  # (B,N,3)
+    theta = jnp.arctan2(-lines[..., 0], lines[..., 1])
+
+    p2 = reproject_at_depth(keypoints, rel_pose, K, min_depth)
+    p3 = reproject_at_depth(keypoints, rel_pose, K, max_depth)
+    swap = p2[..., 0] > p3[..., 0]
+    lo = jnp.where(swap[..., None], p3, p2)
+    hi = jnp.where(swap[..., None], p2, p3)
+
+    def in_b(p):
+        return ((p[..., 0] >= -0.5) & (p[..., 0] < width - 0.5)
+                & (p[..., 1] >= -0.5) & (p[..., 1] < height - 0.5))
+
+    valid = in_b(lo) & in_b(hi)
+    lo = jnp.where(valid[..., None], lo, 0.0)
+    hi = jnp.where(valid[..., None], hi, 0.0)
+    xc = (lo[..., 0] + hi[..., 0]) / 2.0
+    yc = (lo[..., 1] + hi[..., 1]) / 2.0
+    w = jnp.sqrt(jnp.sum((hi - lo) ** 2, axis=-1))
+    return xc, yc, w, theta
+
+
+def roi_patch_coords(xc, yc, w, theta, out_length, distance):
+    """Sample grid of the rotated ROI (reference patch_sampler,
+    triangulation.py:205-232): out_length steps of w*linspace(-.5,.5) along
+    the segment direction x rows linspace(-distance, distance) across it,
+    rotated by theta and centered at (xc, yc). Returns (..., R, S, 2)."""
+    R = 2 * distance + 1
+    sx = jnp.linspace(-0.5, 0.5, out_length)
+    sy = jnp.linspace(-float(distance), float(distance), R)
+    gx = jnp.broadcast_to(
+        w[..., None, None] * sx[None, :], w.shape + (R, out_length))
+    gy = jnp.broadcast_to(sy[:, None], w.shape + (R, out_length))
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    u = xc[..., None, None] + cos[..., None, None] * gx - sin[..., None, None] * gy
+    v = yc[..., None, None] + sin[..., None, None] * gx + cos[..., None, None] * gy
+    return jnp.stack([u, v], axis=-1)
+
+
+def soft_argmax_2d(heatmap):
+    """integrate_tensor_2d with softmax (reference triangulation.py:76-113):
+    softmax over the flattened map, expected (x, y). heatmap (..., R, S)."""
+    shape = heatmap.shape
+    flat = jax.nn.softmax(heatmap.reshape(shape[:-2] + (-1,)), axis=-1)
+    m = flat.reshape(shape)
+    xs = jnp.arange(shape[-1], dtype=heatmap.dtype)
+    ys = jnp.arange(shape[-2], dtype=heatmap.dtype)
+    x = jnp.sum(jnp.sum(m, axis=-2) * xs, axis=-1)
+    y = jnp.sum(jnp.sum(m, axis=-1) * ys, axis=-1)
+    return x, y
 
 
 def triangulate_dlt(proj_matrices, points, confidences):
     """Confidence-weighted multi-view linear triangulation
-    (reference: triangulation.py:25-60). proj_matrices (V,3,4);
+    (reference triangulation.py:25-60). proj_matrices (V,3,4);
     points (Kn,V,2); confidences (Kn,V). Returns (Kn,3)."""
     rows2 = proj_matrices[:, 2:3]  # (V,1,4)
     A = points[..., None] * rows2[None]  # (Kn,V,2,4)
@@ -135,82 +308,176 @@ def triangulate_dlt(proj_matrices, points, confidences):
     return hom[:, :3] / (hom[:, 3:4] + 1e-12)
 
 
+class TriangulationNet(nn.Module):
+    """Rotated-ROI epipolar matching + DLT (reference TriangulationNet,
+    triangulation.py:382-560; config dist_ortogonal=1, kernel_size=1,
+    out_length=100, has_confidence=True)."""
+
+    out_length: int = OUT_LENGTH
+    distance: int = DIST_ORTHO
+    min_depth: float = MIN_DEPTH
+    max_depth: float = MAX_DEPTH
+    arg_max_weight: float = 1.0
+
+    @nn.compact
+    def __call__(self, keypoints, kp_scores, ref_desc_at_kp, meas_descs,
+                 rel_poses, K, height, width, view_mask=None,
+                 train: bool = False):
+        """keypoints (B,Kn,2); ref_desc_at_kp (B,Kn,C); meas_descs
+        (B,V,h8,w8,C); rel_poses (B,V,4,4). Returns (points3d (B,Kn,3),
+        range_mask (B,Kn))."""
+        B, Kn = keypoints.shape[:2]
+        V = meas_descs.shape[1]
+        R = 2 * self.distance + 1
+        S = self.out_length
+
+        bn_match = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                name="bn_match")
+        conf_conv = nn.Conv(1, (3, 3), padding="SAME", name="convD_confa")
+        conf_bn = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                               name="bnconvD_confa")
+
+        matched, confs, widths = [], [], []
+        for v in range(V):
+            rel = rel_poses[:, v]
+            xc, yc, w, theta = epipolar_roi(
+                keypoints, rel, K, height, width, self.min_depth, self.max_depth)
+            coords = roi_patch_coords(xc, yc, w, theta, S, self.distance)  # (B,Kn,R,S,2)
+            cand = sample_descriptors(
+                coords.reshape(B, Kn * R * S, 2), meas_descs[:, v])
+            cand = cand.reshape(B, Kn, R, S, -1)
+            # kernel_size=1 anchor: plain dot correlation per patch location
+            match = jnp.einsum("bkc,bkrsc->bkrs", ref_desc_at_kp, cand)
+            match = nn.relu(bn_match(match.reshape(B * Kn, R, S, 1)))
+
+            # learned confidence: 3x3 conv + BN + global max-pool + sigmoid,
+            # gated by a non-degenerate segment (w > 0) (+0.001 like the ref)
+            c = conf_bn(conf_conv(match))
+            c = jnp.max(c.reshape(B, Kn, -1), axis=-1)
+            c = jax.nn.sigmoid(c) * ((w > 0).astype(c.dtype) + 0.001)
+            if view_mask is not None:
+                c = c * view_mask[:, v][:, None]
+
+            # 2-D soft-argmax in patch coords -> normalize -> ROI transform
+            mx, my = soft_argmax_2d(
+                (match[..., 0] * self.arg_max_weight).reshape(B, Kn, R, S))
+            mx = mx / (S - 1.0) - 0.5
+            my = my / max(R - 1.0, 1.0) - 0.5
+            gated = (w > 0).astype(mx.dtype)
+            px = mx * w          # local x scaled by segment length
+            py = my * gated      # reference zeroes y when the segment is null
+            cos, sin = jnp.cos(theta), jnp.sin(theta)
+            u = xc + cos * px - sin * py
+            v_ = yc + sin * px + cos * py
+            matched.append(jnp.stack([u, v_], axis=-1))
+            confs.append(c)
+            widths.append(w)
+
+        eye34 = jnp.concatenate(
+            [jnp.eye(3, dtype=K.dtype), jnp.zeros((3, 1), K.dtype)], axis=1)
+        proj_ref = jnp.einsum("bij,jk->bik", K, eye34)
+        projs = [proj_ref] + [
+            jnp.einsum("bij,bjk->bik", K, rel_poses[:, v, :3, :]) for v in range(V)]
+        all_pts = jnp.stack([keypoints] + matched, axis=2)          # (B,Kn,V+1,2)
+        all_conf = jnp.stack(
+            [jnp.ones_like(kp_scores)] + confs, axis=2)              # (B,Kn,V+1)
+
+        pts3d = jax.vmap(triangulate_dlt)(
+            jnp.stack(projs, axis=1), all_pts, all_conf)
+        # range_kp: a keypoint is usable if ANY view had a real segment
+        range_mask = jnp.sum(jnp.stack(widths, axis=-1) > 0, axis=-1) > 0
+        return pts3d, range_mask
+
+
 # ------------------------------------------------------------ densification
-class UpProjBlock(nn.Module):
+class GudiUpProj(nn.Module):
+    """Gudi up-projection block (reference densedepth.py:34-120): nearest x2
+    upsample (optionally concat skip), 5x5+3x3 conv branch with a 5x5
+    shortcut, BN everywhere."""
+
     features: int
 
     @nn.compact
-    def __call__(self, x, skip=None):
+    def __call__(self, x, out_h, out_w, skip=None, train: bool = False):
+        bn = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, name=name)
         B, H, W, C = x.shape
-        x = resize_bilinear_align_corners(x, 2 * H, 2 * W)
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)[:, :out_h, :out_w]
         if skip is not None:
             x = jnp.concatenate([x, skip], axis=-1)
-        branch = nn.relu(nn.Conv(self.features, (5, 5), padding="SAME", name="conv5")(x))
-        branch = nn.Conv(self.features, (3, 3), padding="SAME", name="conv3")(branch)
-        short = nn.Conv(self.features, (5, 5), padding="SAME", name="short")(x)
-        return nn.relu(branch + short)
+        y = nn.relu(bn("bn1")(nn.Conv(
+            self.features, (5, 5), padding="SAME", use_bias=False, name="conv1")(x)))
+        y = bn("bn2")(nn.Conv(
+            self.features, (3, 3), padding="SAME", use_bias=False, name="conv2")(y))
+        short = bn("sc_bn1")(nn.Conv(
+            self.features, (5, 5), padding="SAME", use_bias=False, name="sc_conv1")(x))
+        return nn.relu(y + short)
 
 
 class ASPP(nn.Module):
+    features: int = 256
+
     @nn.compact
     def __call__(self, x):
         outs = [nn.relu(nn.Conv(64, (1, 1), name="aspp1")(x))]
-        for i, d in enumerate((6, 12, 18)):
+        for d in (6, 12, 18):
             outs.append(nn.relu(nn.Conv(
                 64, (3, 3), padding=[(d, d)] * 2, kernel_dilation=(d, d),
                 name=f"aspp_d{d}")(x)))
         x = jnp.concatenate(outs, axis=-1)
-        return nn.relu(nn.Conv(256, (1, 1), name="aspp_out")(x))
+        return nn.relu(nn.Conv(self.features, (1, 1), name="aspp_out")(x))
 
 
 class SparseToDenseNet(nn.Module):
+    """ResNet-50 sparse-depth trunk + image-skip concat + Gudi up-projection
+    decoder with ASPP at 1/8 and multiscale heads
+    (reference densedepth.py:205-355)."""
+
     min_depth: float = MIN_DEPTH
     max_depth: float = MAX_DEPTH
 
     @nn.compact
-    def __call__(self, image, sparse_depth, sparse_mask, train: bool = False):
-        """image (B,H,W,3); sparse_depth/mask (B,H,W)."""
-        x = jnp.concatenate(
-            [image, sparse_depth[..., None], sparse_mask[..., None]], axis=-1)
+    def __call__(self, sparse_depth, sparse_mask, image_skips,
+                 train: bool = False):
+        B, H, W = sparse_depth.shape
+        x = sparse_depth[..., None]
+        d = ResNet50Trunk(in_features=1, name="depth_trunk")(x, train)
 
-        def block(x, feats, stride, name):
-            y = nn.Conv(feats, (3, 3), strides=(stride, stride), padding="SAME",
-                        use_bias=False, name=f"{name}_c1")(x)
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             name=f"{name}_bn1")(y)
-            y = nn.relu(y)
-            y = nn.Conv(feats, (3, 3), padding="SAME", use_bias=False,
-                        name=f"{name}_c2")(y)
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             name=f"{name}_bn2")(y)
-            if x.shape[-1] != feats or stride != 1:
-                x = nn.Conv(feats, (1, 1), strides=(stride, stride),
-                            use_bias=False, name=f"{name}_proj")(x)
-            return nn.relu(x + y)
+        cat = lambda a, b: jnp.concatenate([a, b], axis=-1)  # noqa: E731
+        skip_half = cat(d["half"], image_skips["half"])
+        skip_quarter = cat(d["quarter"], image_skips["quarter"])
+        skip_eighth = cat(d["eighth"], image_skips["eighth"])
+        skip_sixteenth = cat(d["sixteenth"], image_skips["sixteenth"])
+        x = cat(d["features"], image_skips["features"])
 
-        s1 = block(block(x, 64, 2, "e1a"), 64, 1, "e1b")      # 1/2
-        s2 = block(block(s1, 128, 2, "e2a"), 128, 1, "e2b")   # 1/4
-        s3 = block(block(s2, 256, 2, "e3a"), 256, 1, "e3b")   # 1/8
-        s4 = block(block(s3, 512, 2, "e4a"), 512, 1, "e4b")   # 1/16
+        sh = lambda t: (t.shape[1], t.shape[2])  # noqa: E731
+        x = GudiUpProj(512, name="up1")(x, *sh(skip_sixteenth), skip_sixteenth, train)
+        x = GudiUpProj(256, name="up2")(x, *sh(skip_eighth), skip_eighth, train)
+        x = ASPP(256, name="aspp")(x)
+        out8 = nn.Conv(1, (1, 1), name="conv_scale8")(x)[..., 0]
+        x = GudiUpProj(128, name="up3")(x, *sh(skip_quarter), skip_quarter, train)
+        out4 = nn.Conv(1, (1, 1), name="conv_scale4")(x)[..., 0]
+        x = GudiUpProj(64, name="up4")(x, *sh(skip_half), skip_half, train)
+        out2 = nn.Conv(1, (1, 1), name="conv_scale2")(x)[..., 0]
+        x = GudiUpProj(32, name="up5")(x, H, W, None, train)
+        out = nn.Conv(1, (3, 3), padding="SAME", name="conv_final")(x)[..., 0]
 
-        bott = ASPP(name="aspp")(s4)
-        d = UpProjBlock(256, name="up1")(bott, s3)
-        d = UpProjBlock(128, name="up2")(d, s2)
-        d = UpProjBlock(64, name="up3")(d, s1)
-        d = UpProjBlock(32, name="up4")(d)
-        sig = nn.sigmoid(nn.Conv(1, (3, 3), padding="SAME", name="depth_head")(d))
-        inv = sig[..., 0] * (1.0 / self.min_depth - 1.0 / self.max_depth) + 1.0 / self.max_depth
-        return 1.0 / inv
+        def to_depth(v):
+            inv = jax.nn.sigmoid(v) * (1.0 / self.min_depth - 1.0 / self.max_depth) \
+                + 1.0 / self.max_depth
+            return 1.0 / inv
+
+        return to_depth(out), [to_depth(out2), to_depth(out4), to_depth(out8)]
 
 
 # ------------------------------------------------------------------ estimator
 class DeltasModel(nn.Module):
     n_keypoints: int = N_KEYPOINTS
-    n_samples: int = N_EPI_SAMPLES
-    nms_radius: int = 9
+    nms_radius: int = 4
 
     def setup(self):
         self.superpoint = SuperPoint(name="superpoint")
+        self.triangulation = TriangulationNet(name="triangulation")
         self.densifier = SparseToDenseNet(name="sparse_to_dense")
 
     def __call__(self, ref_image, meas_images, rel_poses, K, view_mask=None,
@@ -220,62 +487,29 @@ class DeltasModel(nn.Module):
         H, W = ref_image.shape[1:3]
         Kn = self.n_keypoints
 
-        scores, ref_desc = self.superpoint(ref_image)
+        scores, ref_desc, image_skips = self.superpoint(ref_image, train)
         scores = simple_nms(scores, self.nms_radius)
         kp, kp_scores = top_k_keypoints(scores, Kn, border=4)
         ref_d = sample_descriptors(kp, ref_desc)  # (B,Kn,256)
 
-        inv_d = 1.0 / MAX_DEPTH + (1.0 / MIN_DEPTH - 1.0 / MAX_DEPTH) * (
-            jnp.arange(self.n_samples, dtype=jnp.float32) / (self.n_samples - 1))
-        depths_s = 1.0 / inv_d  # (S,)
-
-        matched_pts = []
-        matched_conf = []
+        meas_descs = []
         for v in range(V):
-            _, mdesc = self.superpoint(meas_images[:, v])
+            _, mdesc, _ = self.superpoint(meas_images[:, v], train)
+            meas_descs.append(mdesc)
+        meas_descs = jnp.stack(meas_descs, axis=1)
 
-            # sample S candidate locations along the depth-guided epipolar
-            # segment and correlate descriptors
-            def at_depth(d):
-                uv, _ = reproject_at_depth(kp, rel_poses[:, v], K, d)
-                return uv
+        pts3d, range_mask = self.triangulation(
+            kp, kp_scores, ref_d, meas_descs, rel_poses, K, H, W,
+            view_mask, train)
 
-            cand = jax.vmap(at_depth, out_axes=2)(depths_s)  # (B,Kn,S,2)
-            cand_desc = sample_descriptors(
-                cand.reshape(B, Kn * self.n_samples, 2), mdesc)
-            cand_desc = cand_desc.reshape(B, Kn, self.n_samples, 256)
-            corr = jnp.einsum("bkc,bksc->bks", ref_d, cand_desc)
-            w_soft = jax.nn.softmax(corr * 10.0, axis=-1)
-            pt = jnp.einsum("bks,bksq->bkq", w_soft, cand)  # soft-argmax (B,Kn,2)
-            conf = jax.nn.sigmoid(jnp.max(corr, axis=-1))   # match confidence
-            in_bounds = (
-                (pt[..., 0] >= 0) & (pt[..., 0] < W)
-                & (pt[..., 1] >= 0) & (pt[..., 1] < H))
-            conf = conf * in_bounds
-            if view_mask is not None:
-                conf = conf * view_mask[:, v][:, None]
-            matched_pts.append(pt)
-            matched_conf.append(conf)
+        z = jnp.clip(pts3d[..., 2], 0.0, self.densifier.max_depth)  # (B,Kn)
+        valid = (range_mask
+                 & (z > self.densifier.min_depth)
+                 & (z < self.densifier.max_depth)
+                 & (kp_scores > 0))
+        z = z * valid
 
-        # projection matrices: ref = K[I|0]; views = K [R|t]
-        eye34 = jnp.concatenate(
-            [jnp.eye(3, dtype=K.dtype), jnp.zeros((3, 1), K.dtype)], axis=1)
-        proj_ref = jnp.einsum("bij,jk->bik", K, eye34)
-        projs = [proj_ref] + [
-            jnp.einsum("bij,bjk->bik", K, rel_poses[:, v, :3, :]) for v in range(V)
-        ]
-        all_pts = jnp.stack([kp] + matched_pts, axis=2)          # (B,Kn,V+1,2)
-        all_conf = jnp.stack(
-            [jnp.ones_like(kp_scores)] + matched_conf, axis=2)    # (B,Kn,V+1)
-
-        def tri_one(proj_b, pts_b, conf_b):
-            return triangulate_dlt(proj_b, pts_b, conf_b)
-
-        pts3d = jax.vmap(tri_one)(jnp.stack(projs, axis=1), all_pts, all_conf)
-        z = jnp.clip(pts3d[..., 2], 0.0, MAX_DEPTH)  # (B,Kn) ref-frame depth
-        valid = (z > MIN_DEPTH) & (kp_scores > 0)
-
-        # scatter sparse depth
+        # impute the learnt sparse depth (reference densedepth.py:288-305)
         lin = (kp[..., 1].astype(jnp.int32) * W + kp[..., 0].astype(jnp.int32))
         lin = jnp.where(valid, lin, H * W)
 
@@ -285,7 +519,8 @@ class DeltasModel(nn.Module):
             return buf[:-1].reshape(H, W), msk[:-1].reshape(H, W)
 
         sparse_depth, sparse_mask = jax.vmap(scatter_one)(lin, z)
-        return self.densifier(ref_image, sparse_depth, sparse_mask, train)
+        depth, _ = self.densifier(sparse_depth, sparse_mask, image_skips, train)
+        return depth
 
 
 @register_baseline("deltas")
@@ -293,8 +528,10 @@ class Deltas(DepthEstimator):
     image_width = 320
     image_height = 240
     scale_rgb = 255.0
-    mean_rgb = (0.5, 0.5, 0.5)
-    std_rgb = (0.5, 0.5, 0.5)
+    # the reference normalizes with ImageNet stats inside the model
+    # (superpoint.py:91-92,127); here it happens in preprocessing
+    mean_rgb = (0.485, 0.456, 0.406)
+    std_rgb = (0.229, 0.224, 0.225)
 
     def __init__(self, n_measurement_frames: int = 2, variables=None, seed: int = 0):
         self.V = n_measurement_frames

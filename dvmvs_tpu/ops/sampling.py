@@ -98,15 +98,20 @@ def grid_sample(
 
 
 @functools.lru_cache(maxsize=None)
-def _linear_resize_matrix(in_size: int, out_size: int) -> np.ndarray:
-    """(out_size, in_size) dense interpolation matrix, align_corners=True."""
+def _linear_resize_matrix(in_size: int, out_size: int,
+                          align_corners: bool = True) -> np.ndarray:
+    """(out_size, in_size) dense interpolation matrix matching torch
+    F.interpolate(mode='bilinear'). align_corners=False uses the half-pixel
+    convention src = (i + 0.5) * in/out - 0.5 with edge clamping."""
     A = np.zeros((out_size, in_size), dtype=np.float32)
-    if out_size == 1:
+    if out_size == 1 and align_corners:
         A[0, 0] = 1.0
         return A
-    scale = (in_size - 1) / (out_size - 1)
     for i in range(out_size):
-        src = i * scale
+        if align_corners:
+            src = i * (in_size - 1) / (out_size - 1)
+        else:
+            src = np.clip((i + 0.5) * in_size / out_size - 0.5, 0, in_size - 1)
         lo = int(np.floor(src))
         hi = min(lo + 1, in_size - 1)
         w = src - lo
@@ -115,8 +120,10 @@ def _linear_resize_matrix(in_size: int, out_size: int) -> np.ndarray:
     return A
 
 
-def resize_bilinear_align_corners(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
-    """torch F.interpolate(mode='bilinear', align_corners=True) for NHWC.
+def resize_bilinear_align_corners(x: jnp.ndarray, out_h: int, out_w: int,
+                                  align_corners: bool = True) -> jnp.ndarray:
+    """torch F.interpolate(mode='bilinear') for NHWC (align_corners=True
+    default; False uses the half-pixel convention).
 
     Expressed as two small dense matmuls (separable linear interpolation),
     which XLA tiles onto the MXU — no gathers involved.
@@ -124,8 +131,8 @@ def resize_bilinear_align_corners(x: jnp.ndarray, out_h: int, out_w: int) -> jnp
     B, H, W, C = x.shape
     if (H, W) == (out_h, out_w):
         return x
-    Ah = jnp.asarray(_linear_resize_matrix(H, out_h), dtype=x.dtype)
-    Aw = jnp.asarray(_linear_resize_matrix(W, out_w), dtype=x.dtype)
+    Ah = jnp.asarray(_linear_resize_matrix(H, out_h, align_corners), dtype=x.dtype)
+    Aw = jnp.asarray(_linear_resize_matrix(W, out_w, align_corners), dtype=x.dtype)
     x = jnp.einsum("oh,bhwc->bowc", Ah, x)
     return jnp.einsum("ow,bhwc->bhoc", Aw, x)
 

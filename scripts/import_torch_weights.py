@@ -1,0 +1,79 @@
+"""One-command import of the reference's released PyTorch module weights
+into an engine-loadable checkpoint.
+
+The reference loads its 5 per-module torch pickles by SORTED filename order
+matched to [feature_extractor, feature_shrinker, cost_volume_encoder,
+lstm_fusion, cost_volume_decoder] (fusionnet/run-testing.py:29-41; pairnet
+has 4 modules, no lstm). Point --weights-dir at that folder (e.g. the
+GitHub release's fusionnet/weights/) and this writes a single msgpack
+checkpoint consumable by `--checkpoint` on every driver.
+
+Partial imports work: modules without a matching file keep the template
+initialization (this sandbox's mount ships only 1_feature_pyramid).
+The per-module mappings are oracle-tested in tests/test_mnasnet_parity.py
+and tests/test_module_parity.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+MODULE_ORDER = [
+    "feature_extractor",
+    "feature_shrinker",
+    "cost_volume_encoder",
+    "lstm_fusion",
+    "cost_volume_decoder",
+]
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--weights-dir", required=True,
+                    help="folder with the reference's sorted per-module files")
+    ap.add_argument("--model", choices=["pairnet", "fusionnet"], default="fusionnet")
+    ap.add_argument("--output", required=True, help="output .msgpack checkpoint")
+    args = ap.parse_args()
+
+    from dvmvs_tpu.apps.engine import InferenceEngine
+    from dvmvs_tpu.utils.checkpoint import save_checkpoint
+    from dvmvs_tpu.utils.jax_setup import setup_jax
+    from dvmvs_tpu.utils.torch_convert import convert_torch_checkpoints
+
+    setup_jax()
+    modules = [m for m in MODULE_ORDER
+               if args.model == "fusionnet" or m != "lstm_fusion"]
+    files = sorted(
+        os.path.join(args.weights_dir, f)
+        for f in os.listdir(args.weights_dir)
+        if not f.startswith("."))
+    if len(files) == len(modules):
+        mapping = dict(zip(modules, files))
+    else:
+        # partial set: match by the conventional index prefix / name hints
+        hints = {"feature_extractor": ("0", "extractor"),
+                 "feature_shrinker": ("1", "pyramid", "shrinker"),
+                 "cost_volume_encoder": ("2", "encoder"),
+                 "lstm_fusion": ("3", "lstm"),
+                 "cost_volume_decoder": ("4", "decoder")}
+        mapping = {}
+        for m in modules:
+            for f in files:
+                base = os.path.basename(f)
+                if any(base.startswith(h) or h in base for h in hints[m]):
+                    mapping[m] = f
+                    break
+        print(f"partial import: matched {sorted(mapping)} from {len(files)} files")
+
+    engine = InferenceEngine(args.model, seed=0)
+    variables = convert_torch_checkpoints(mapping, engine.variables)
+    save_checkpoint(args.output, variables)
+    print(f"wrote {args.output} ({len(mapping)}/{len(modules)} modules converted)")
+
+
+if __name__ == "__main__":
+    main()

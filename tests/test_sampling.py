@@ -69,6 +69,22 @@ def test_resize_bilinear_matches_torch(rng, out_hw):
     )
 
 
+@pytest.mark.parametrize("out_hw", [(12, 16), (17, 5), (8, 8), (4, 4)])
+def test_resize_bilinear_half_pixel_matches_torch(rng, out_hw):
+    """align_corners=False (half-pixel) convention, used by the DELTAS
+    baseline's reference interpolations."""
+    B, C, H, W = 2, 4, 8, 8
+    img = _rand_image(rng, B, C, H, W)
+    want = F.interpolate(
+        torch.from_numpy(img), size=out_hw, mode="bilinear", align_corners=False
+    ).numpy()
+    got = resize_bilinear_align_corners(
+        jnp.asarray(img.transpose(0, 2, 3, 1)), *out_hw, align_corners=False)
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want, atol=2e-5
+    )
+
+
 @pytest.mark.parametrize("out_hw", [(4, 4), (3, 5), (16, 20), (8, 10)])
 def test_resize_nearest_matches_torch(rng, out_hw):
     B, C, H, W = 2, 3, 8, 10
