@@ -32,7 +32,7 @@ from dvmvs_tpu.parallel.train import (
     make_optimizer,
     make_train_step,
 )
-from dvmvs_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from dvmvs_tpu.utils.checkpoint import load_checkpoint_partial, save_checkpoint
 from dvmvs_tpu.utils.losses import LossMeter
 from dvmvs_tpu.utils.run_logging import RunLogger, snapshot_code
 
@@ -203,7 +203,10 @@ def main():
     model = (FusionNet() if kind == "fusionnet" else PairNet())
     variables = init_variables(model, kind, cfg, args.seed)
     if args.warm_start:
-        variables = load_checkpoint(args.warm_start, variables)
+        # partial: a pairnet checkpoint warm-starts fusionnet's shared
+        # modules, lstm_fusion keeps its fresh init (the reference's
+        # per-module warm start, fusionnet/run-training.py:104-113)
+        variables = load_checkpoint_partial(args.warm_start, variables)
         print("warm-started from", args.warm_start)
 
     train_set = MVSSequenceDataset(

@@ -301,6 +301,7 @@ def cost_volume_fused(
         build_plane_matrices,
         max_row_spans,
         pallas_plane_sweep_multiview,
+        pallas_plane_sweep_multiview_dyn,
     )
 
     inv_depths = inverse_depth_planes(min_depth, max_depth, n_depth_levels)
@@ -332,20 +333,27 @@ def cost_volume_fused(
             return cvs.transpose(0, 2, 3, 1)
         return branch
 
-    def gather_branch():
-        return _gather_fused(
-            ref_feat, meas_feats, ref_pose, meas_poses, K,
-            min_depth, max_depth, n_depth_levels, dot_product, view_mask,
-            plane_chunk)
+    def dyn_branch():
+        # dynamic-trip kernel: exact for ANY span, per-row cost tracks the
+        # real span — replaces the XLA gather fallback (measured ~1.2x
+        # faster at span>100 and far better VMEM behavior, docs/PERF.md)
+        cvs = jax.lax.map(
+            lambda t: pallas_plane_sweep_multiview_dyn(
+                t[0], t[1], t[2], t[3], dot_product=dot_product),
+            (ref_feat, meas_feats, Ms, weights),
+        )
+        return cvs.transpose(0, 2, 3, 1)
 
     # Pick the cheapest exact implementation for this frame's geometry: the
     # smallest band tier whose y-span check passes (kernel cost scales
-    # linearly with band height), falling back to the XLA gather path only
-    # under extreme inter-view rotation. Real trajectories need the large
-    # tiers often: on the hololens sample's keyframes the per-row source
-    # span is 27 px at the median and 53 at p90 (see docs/PERF.md).
-    index = jnp.full((), len(tiers), jnp.int32)  # default: gather
+    # linearly with band height; the static band's single dynamic-start
+    # slice beats predicated chunking for spans that fit a tier), else the
+    # dynamic-trip kernel under extreme inter-view rotation. Real
+    # trajectories need the large tiers often: on the hololens sample's
+    # keyframes the per-row source span is 27 px at the median and 53 at
+    # p90 (see docs/PERF.md).
+    index = jnp.full((), len(tiers), jnp.int32)  # default: dynamic-trip
     for i in range(len(tiers) - 1, -1, -1):
         index = jnp.where(tier_span[i] <= tiers[i], i, index)
     return jax.lax.switch(
-        index, [pallas_branch(b) for b in tiers] + [gather_branch])
+        index, [pallas_branch(b) for b in tiers] + [dyn_branch])

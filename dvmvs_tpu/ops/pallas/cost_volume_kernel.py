@@ -301,6 +301,140 @@ def pallas_plane_sweep_multiview(ref_feat, meas_feats, plane_matrices, weights,
       ref_hcw, meas_flat)
 
 
+def _kernel_mv_dyn(params_ref, weights_ref, ref_ref, meas_ref, out_ref,
+                   warped_ref, *, H, W, C, inv_channels, dot_product):
+    """Dynamic-trip multi-view variant, exact for ANY geometry: source rows
+    are processed in absolute 8-row-aligned chunks, and per (plane, row)
+    only the chunks intersecting that row's real y-span execute (predicated
+    sub-matmul + collapse). Cost is proportional to the actual span, not a
+    band ceiling, and there is no gather fallback to keep in sync.
+    warped_ref: (C, W) VMEM accumulator scratch."""
+    p = pl.program_id(0)
+    rb = pl.program_id(1)
+    v = pl.program_id(2)
+
+    xw = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1).astype(jnp.float32)
+    jw = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0).astype(jnp.float32)
+
+    base = (v * pl.num_programs(0) + p) * 9
+    m00 = params_ref[base + 0]
+    m01 = params_ref[base + 1]
+    m02 = params_ref[base + 2]
+    m10 = params_ref[base + 3]
+    m11 = params_ref[base + 4]
+    m12 = params_ref[base + 5]
+    m20 = params_ref[base + 6]
+    m21 = params_ref[base + 7]
+    m22 = params_ref[base + 8]
+    w_view = weights_ref[v]
+
+    x_scale = (W - 1.0) / W
+    y_scale = (H - 1.0) / H
+    n_chunks = H // 8
+
+    @pl.when(v == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    for r in range(ROW_BLOCK):
+        y = (rb * ROW_BLOCK + r).astype(jnp.float32)
+        den = m20 * xw + m21 * y + m22 + 1e-8
+        xs = (m00 * xw + m01 * y + m02) / den * x_scale
+        ys = (m10 * xw + m11 * y + m12) / den * y_scale
+
+        # chunk range: in-bounds samples touch source rows
+        # floor(ys)..floor(ys)+1; out-of-bounds samples contribute zero hat
+        # weight (sentinels make the range empty when nothing is in bounds).
+        in_bounds = (ys > -1.0) & (ys < jnp.float32(H))
+        ys_lo = jnp.where(in_bounds, ys, jnp.float32(H))
+        lo = jnp.clip(jnp.floor(jnp.min(ys_lo)), 0, H - 1).astype(jnp.int32)
+        ys_hi = jnp.where(in_bounds, ys, -1.0)
+        hi = jnp.clip(jnp.floor(jnp.max(ys_hi)) + 1.0, -1.0, H - 1.0).astype(jnp.int32)
+        c0 = lo // 8
+        c1 = hi // 8  # -1//8 == -1 when nothing is in bounds -> 0 chunks
+        any_in = jnp.max(in_bounds.astype(jnp.int32)) > 0
+
+        hatx = jnp.maximum(0.0, 1.0 - jnp.abs(xs - jw))
+
+        warped_ref[...] = jnp.zeros((C, W), jnp.float32)
+        for c in range(n_chunks):
+            @pl.when(any_in & (c0 <= c) & (c <= c1))
+            def _():
+                start = c * (8 * C)  # absolute, statically aligned
+                band = meas_ref[0, pl.ds(start, 8 * C), :]
+                xint = jax.lax.dot_general(
+                    band, hatx, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                ky = jnp.float32(8 * c) + jax.lax.broadcasted_iota(
+                    jnp.int32, (8, 1), 0).astype(jnp.float32)
+                haty = jnp.maximum(0.0, 1.0 - jnp.abs(ys - ky))  # (8, W)
+                acc = warped_ref[...]
+                for k in range(8):
+                    acc = acc + haty[k:k + 1, :] * xint[k * C:(k + 1) * C, :]
+                warped_ref[...] = acc
+
+        warped = warped_ref[...]
+        if dot_product:
+            cost = jnp.sum(ref_ref[r] * warped, axis=0, keepdims=True) * inv_channels
+        else:
+            cost = jnp.sum(jnp.abs(ref_ref[r] - warped), axis=0, keepdims=True)
+        out_ref[0, pl.ds(r, 1), :] += cost * w_view
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "dot_product"))
+def pallas_plane_sweep_multiview_dyn(ref_feat, meas_feats, plane_matrices, weights,
+                                     interpret: bool = False,
+                                     dot_product: bool = True):
+    """Dynamic-trip fused multi-view cost volume: exact for any geometry
+    (chunks cover the full source height), with per-row cost proportional
+    to the ACTUAL y-span. Same contract as pallas_plane_sweep_multiview."""
+    H, W, C = ref_feat.shape
+    V, P = plane_matrices.shape[:2]
+    assert H % ROW_BLOCK == 0
+
+    if C % 8 != 0:
+        pad = 8 - C % 8
+        n_real = C
+        ref_feat = jnp.concatenate(
+            [ref_feat, jnp.zeros(ref_feat.shape[:2] + (pad,), ref_feat.dtype)], axis=-1)
+        meas_feats = jnp.concatenate(
+            [meas_feats, jnp.zeros(meas_feats.shape[:3] + (pad,), meas_feats.dtype)],
+            axis=-1)
+        C = C + pad
+    else:
+        n_real = C
+
+    ref_hcw = jnp.swapaxes(ref_feat, 1, 2)
+    meas_flat = jnp.swapaxes(meas_feats, 2, 3).reshape(V, H * C, W)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(P, H // ROW_BLOCK, V),
+        in_specs=[
+            pl.BlockSpec((ROW_BLOCK, C, W), lambda p, rb, v, *_: (rb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H * C, W), lambda p, rb, v, *_: (v, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, ROW_BLOCK, W), lambda p, rb, v, *_: (p, rb, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((C, W), jnp.float32)],
+    )
+
+    kernel = functools.partial(
+        _kernel_mv_dyn, H=H, W=W, C=C, inv_channels=1.0 / n_real,
+        dot_product=dot_product)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((P, H, W), jnp.float32),
+        interpret=interpret,
+    )(plane_matrices.reshape(-1), weights.astype(jnp.float32),
+      ref_hcw, meas_flat)
+
+
 def _row_extremes(plane_matrices, H: int, W: int):
     """Per-(plane, row) in-bounds y extremes (min-floor, hi-needed)."""
     x = jnp.arange(W, dtype=jnp.float32)[None, None, :]

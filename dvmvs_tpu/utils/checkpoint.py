@@ -30,6 +30,33 @@ def load_checkpoint(path: str, template: Any) -> Any:
     return flax.serialization.from_bytes(template, data)
 
 
+def load_checkpoint_partial(path: str, template: Any) -> Any:
+    """Restore the overlap of a checkpoint into ``template``, keeping the
+    template's values for anything the checkpoint lacks.
+
+    This is the cross-model warm-start the reference does per-module
+    (fusionnet/run-training.py:104-113 loads pairnet checkpoints for the 4
+    shared modules; lstm_fusion stays fresh): a pairnet checkpoint loaded
+    into a fusionnet template initializes everything but the LSTM."""
+    with open(path, "rb") as f:
+        raw = flax.serialization.msgpack_restore(f.read())
+
+    def merge(tmpl, src, prefix=""):
+        if not isinstance(tmpl, dict):
+            return src if src is not None else tmpl
+        out = {}
+        for k, v in tmpl.items():
+            if isinstance(src, dict) and k in src:
+                out[k] = merge(v, src[k], f"{prefix}/{k}")
+            else:
+                out[k] = v
+                print(f"warm-start: keeping fresh init for {prefix}/{k}")
+        return out
+
+    merged = merge(flax.serialization.to_state_dict(template), raw)
+    return flax.serialization.from_state_dict(template, merged)
+
+
 def checkpoint_exists(path: Optional[str]) -> bool:
     return bool(path) and os.path.isfile(path)
 

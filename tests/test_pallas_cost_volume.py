@@ -92,6 +92,43 @@ def test_large_band_tiers_match_gather_reference(rng, euler, t, band):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4)
 
 
+@pytest.mark.parametrize("euler,t", [
+    ([0, 0, 0], [0.12, 0.0, 0.0]),       # easy: tiny span
+    ([0, 0, 35], [0.1, 0.0, 0.0]),       # extreme roll: span > 64
+    ([0, 120, 0], [0.1, 0.0, 2.0]),      # degenerate: most samples behind
+])
+def test_dynamic_trip_kernel_exact_any_geometry(rng, euler, t):
+    """The dynamic-trip kernel (absolute 8-row-aligned predicated chunks)
+    must match the gather reference for ANY geometry — it replaces the
+    gather fallback entirely."""
+    from dvmvs_tpu.ops.pallas.cost_volume_kernel import (
+        pallas_plane_sweep_multiview_dyn,
+    )
+
+    H2, W2 = 64, 64
+    K2 = np.array([[40.0, 0, W2 / 2], [0, 40.0, H2 / 2], [0, 0, 1]], np.float32)
+    ref = rng.randn(H2, W2, C).astype(np.float32)
+    meas = np.stack([rng.randn(H2, W2, C).astype(np.float32) for _ in range(2)])
+    pose1 = np.eye(4, dtype=np.float32)
+    poses = [_pose(euler, t), _pose([1, 2, 0.5], [0.1, 0.02, 0.0])]
+    invd = inverse_depth_planes(0.25, 20.0, P)
+    Ms = jnp.stack([
+        build_plane_matrices(jnp.asarray(pose1), jnp.asarray(p), jnp.asarray(K2), invd)
+        for p in poses])
+    weights = jnp.asarray([0.6, 0.4])
+    got = pallas_plane_sweep_multiview_dyn(
+        jnp.asarray(ref), jnp.asarray(meas), Ms, weights, interpret=True)
+    want = 0.0
+    for w, m, p in zip([0.6, 0.4], meas, poses):
+        cv = plane_sweep_cost_volume(
+            jnp.asarray(ref)[None], jnp.asarray(m)[None],
+            jnp.asarray(pose1)[None], jnp.asarray(p)[None],
+            jnp.asarray(K2)[None], 0.25, 20.0, P, plane_chunk=4,
+        )[0].transpose(2, 0, 1)
+        want = want + w * np.asarray(cv)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-4)
+
+
 def test_span_check_flags_extreme_roll():
     pose1 = np.eye(4, dtype=np.float32)
     pose2 = _pose([0, 0, 35], [0.1, 0, 0])  # 35-degree roll
