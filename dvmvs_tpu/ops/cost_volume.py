@@ -190,15 +190,17 @@ def plane_sweep_cost_volume_banded(
 def plane_sweep_cost_volume_train(
     ref_feat, meas_feat, ref_pose, meas_pose, K,
     min_depth, max_depth, n_depth_levels,
-    band_h: int = 8, plane_chunk: int = 8,
+    plane_chunk: int = 8,
 ):
-    """Differentiable plane sweep with runtime path selection: banded
-    hat-matmul when the frame geometry allows (the common case during
-    training — pose windows bound rotation), gather otherwise. Both branches
-    are differentiable; lax.cond executes one."""
+    """Differentiable plane sweep with runtime path selection: the smallest
+    banded hat-matmul tier whose y-span check passes (cost is linear in the
+    band height; real keyframe geometry routinely needs 16-64 source rows,
+    docs/PERF.md), gather under extreme rotation. All branches are
+    differentiable; lax.switch executes one."""
     from dvmvs_tpu.ops.pallas.cost_volume_kernel import (
+        BAND_TIERS,
         build_plane_matrices,
-        max_row_span,
+        max_row_spans,
     )
 
     if jax.default_backend() != "tpu":
@@ -210,19 +212,27 @@ def plane_sweep_cost_volume_train(
     inv_depths = inverse_depth_planes(min_depth, max_depth, n_depth_levels)
     Ms = jax.vmap(build_plane_matrices, in_axes=(0, 0, 0, None))(
         ref_pose, meas_pose, K, inv_depths)
-    span = jnp.max(jax.vmap(lambda m: max_row_span(m, H, W, band_h))(Ms))
+    tiers = [b for b in BAND_TIERS if b <= H]
+    spans = jax.vmap(
+        lambda m: jnp.stack(max_row_spans(m, H, W, tuple(tiers))))(Ms)
+    tier_span = [jnp.max(spans[..., i]) for i in range(len(tiers))]
 
-    def banded():
-        return plane_sweep_cost_volume_banded(
-            ref_feat, meas_feat, ref_pose, meas_pose, K,
-            min_depth, max_depth, n_depth_levels, band_h, plane_chunk)
+    def banded(band_h):
+        def branch():
+            return plane_sweep_cost_volume_banded(
+                ref_feat, meas_feat, ref_pose, meas_pose, K,
+                min_depth, max_depth, n_depth_levels, band_h, plane_chunk)
+        return branch
 
     def gather():
         return plane_sweep_cost_volume(
             ref_feat, meas_feat, ref_pose, meas_pose, K,
             min_depth, max_depth, n_depth_levels, plane_chunk=plane_chunk)
 
-    return jax.lax.cond(span <= band_h, banded, gather)
+    index = jnp.full((), len(tiers), jnp.int32)
+    for i in range(len(tiers) - 1, -1, -1):
+        index = jnp.where(tier_span[i] <= tiers[i], i, index)
+    return jax.lax.switch(index, [banded(b) for b in tiers] + [gather])
 
 
 def _gather_fused(

@@ -89,6 +89,30 @@ def test_predict_scene_online_fusionnet_with_tracking_lost(
     assert float(engine.has_prev) == 1.0
 
 
+HOLOLENS = "/root/reference/sample-data/hololens-dataset/000"
+HOLOLENS_IDX = ("/root/reference/sample-data/indices/"
+                "keyframe+hololens-dataset+000+nmeas+2")
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.isdir(HOLOLENS),
+                    reason="hololens sample scene not mounted")
+def test_evaluate_scene_hololens_real_data(tiny_cfg):
+    """Offline driver on the real hololens fixture (first keyframes of the
+    shipped nmeas+2 index file): exercises real PNG decode, preprocessing
+    with a real K, and real pose geometry through the engine."""
+    from dvmvs_tpu.apps.engine import InferenceEngine
+    from dvmvs_tpu.apps.run_testing import evaluate_scene
+
+    engine = InferenceEngine("fusionnet", tiny_cfg)
+    predictions, gts = evaluate_scene(
+        engine, HOLOLENS, HOLOLENS_IDX, tiny_cfg, max_frames=6)
+    assert len(predictions) == 6 and len(gts) == 6
+    for p, g in zip(predictions, gts):
+        assert p.shape == g.shape == (H_SRC, W_SRC)
+        assert np.isfinite(p).all()
+
+
 def test_evaluate_scene_offline_save_and_tsdf(png_scene, tiny_cfg, tmp_path):
     """Offline driver consuming an index file (incl. a TRACKING LOST line),
     npz-compatible save, then TSDF reconstruction from the saved npz."""
