@@ -273,7 +273,8 @@ def main():
                 print(f"  validation l1/l1-inv/l1-rel/huber: "
                       + " ".join(f"{l:.4f}" for l in losses))
                 logger.log(int(state.step), "validation", dict(
-                    zip(("l1", "l1_inv", "l1_rel", "huber"), losses)))
+                    zip(("l1", "l1_inv", "l1_rel", "huber"), losses),
+                    epoch=epoch))
                 improved = any(l < b for l, b in zip(losses, best_loss))
                 if improved:
                     best_loss = [min(l, b) for l, b in zip(losses, best_loss)]

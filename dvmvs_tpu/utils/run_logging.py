@@ -21,10 +21,11 @@ class RunLogger:
         os.makedirs(run_directory, exist_ok=True)
         self._f = open(os.path.join(run_directory, "metrics.jsonl"), "a")
 
-    def log(self, step: int, tag: str, values: Dict[str, float]):
+    def log(self, step: int, tag: str, values: Dict[str, float], **extra):
         self._f.write(json.dumps({
             "step": int(step), "tag": tag, "time": time.time(),
             **{k: float(v) for k, v in values.items()},
+            **{k: float(v) for k, v in extra.items()},
         }) + "\n")
         self._f.flush()
 

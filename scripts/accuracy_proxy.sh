@@ -24,7 +24,28 @@ python -m dvmvs_tpu.apps.run_training --model pairnet --dataset "$ROOT/train" \
     --image-size $RES $RES --batch-size 8 --epochs "$PAIR_EPOCHS" --seed 0 \
     --run-directory "$RUNS/pairnet" --print-frequency 20
 PAIR_RUN=$(ls -td "$RUNS"/pairnet/*/ | head -1)
-PAIR_CKPT=$(ls -t "$PAIR_RUN"/pairnet_epoch*.msgpack | head -1)
+# model selection on VALIDATION L1: pick the saved epoch with the best
+# validation among checkpoints (they are saved on any-metric improvement)
+select_best() {  # args: run_dirs...; prints best checkpoint path
+    python - "$@" <<'PYEOF'
+import json, os, sys, glob
+best = (float("inf"), None)
+for run in sys.argv[1:]:
+    vals = {}
+    for line in open(os.path.join(run, "metrics.jsonl")):
+        rec = json.loads(line)
+        if rec.get("tag") == "validation":
+            v = rec.get("values", rec)
+            if "epoch" in v:
+                vals[int(v["epoch"])] = v["l1"]
+    for ck in glob.glob(os.path.join(run, "*_epoch*.msgpack")):
+        e = int(ck.rsplit("epoch", 1)[1].split(".")[0])
+        if e in vals and vals[e] < best[0]:
+            best = (vals[e], ck)
+print(best[1] or "")
+PYEOF
+}
+PAIR_CKPT=$(select_best "$PAIR_RUN")
 echo "pairnet checkpoint: $PAIR_CKPT"
 
 echo "=== 3/5 train fusionnet stage 0+1, interrupt, then RESUME mid-run"
@@ -41,7 +62,7 @@ python -m dvmvs_tpu.apps.run_training --model fusionnet --dataset "$ROOT/train" 
     --resume "$FUSION_RUN/fusionnet_latest.state.msgpack" \
     --run-directory "$RUNS/fusionnet_resumed" --print-frequency 20
 FUSION_RUN2=$(ls -td "$RUNS"/fusionnet_resumed/*/ | head -1)
-FUSION_CKPT=$(ls -t "$FUSION_RUN2"/fusionnet_epoch*.msgpack "$FUSION_RUN"/fusionnet_epoch*.msgpack 2>/dev/null | head -1)
+FUSION_CKPT=$(select_best "$FUSION_RUN" "$FUSION_RUN2")
 echo "fusionnet checkpoint: $FUSION_CKPT"
 
 echo "=== 5/5 evaluate both on the held-out split"
