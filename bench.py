@@ -81,13 +81,14 @@ def band_hit_rates(traj, K, H, W, n_levels, min_d, max_d):
     inv_d = inverse_depth_planes(min_d, max_d, n_levels)
     h, w = H // 2, W // 2
     tiers = [b for b in BAND_TIERS if b <= h]
+    x_tiles = 2 if (w % 2 == 0 and w >= 64) else 1  # mirrors cost_volume_fused
     Kh = K.copy()
     Kh[:2] /= 2.0
 
     @jax.jit
     def spans_for(ref_pose, meas_pose):
         Ms = build_plane_matrices(ref_pose, meas_pose, jnp.asarray(Kh), inv_d)
-        return jnp.stack(max_row_spans(Ms, h, w, tuple(tiers)))
+        return jnp.stack(max_row_spans(Ms, h, w, tuple(tiers), x_tiles=x_tiles))
 
     counts = [0] * (len(tiers) + 1)
     for t in range(2, len(traj)):

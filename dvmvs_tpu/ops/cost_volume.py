@@ -320,8 +320,13 @@ def cost_volume_fused(
         in_axes=(0, 0, 0, None),
     )(ref_pose, meas_poses, K, inv_depths)  # (B, V, P, 3, 3)
     tiers = [b for b in BAND_TIERS if b <= H]
+    # Column tiling: independent band starts per half-row halve the needed
+    # band under roll (y-span is ~linear along x), dropping rotation-heavy
+    # frames a tier lower at identical MXU lane utilization (docs/PERF.md).
+    x_tiles = 2 if (W % 2 == 0 and W >= 64) else 1
     spans = jax.vmap(jax.vmap(
-        lambda m: jnp.stack(max_row_spans(m, H, W, tuple(tiers)))))(Ms)
+        lambda m: jnp.stack(max_row_spans(m, H, W, tuple(tiers),
+                                          x_tiles=x_tiles))))(Ms)
     tier_span = [jnp.max(spans[..., i]) for i in range(len(tiers))]
 
     if view_mask is None:
@@ -337,7 +342,7 @@ def cost_volume_fused(
             cvs = jax.lax.map(
                 lambda t: pallas_plane_sweep_multiview(
                     t[0], t[1], t[2], t[3], band_h=band_h,
-                    dot_product=dot_product),
+                    dot_product=dot_product, x_tiles=x_tiles),
                 (ref_feat, meas_feats, Ms, weights),
             )  # (B, P, H, W)
             return cvs.transpose(0, 2, 3, 1)

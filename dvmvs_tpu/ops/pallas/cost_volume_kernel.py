@@ -183,16 +183,31 @@ def pallas_plane_sweep(ref_feat, meas_feat, plane_matrices, interpret: bool = Fa
 
 
 def _kernel_mv(params_ref, weights_ref, ref_ref, meas_ref, out_ref, *,
-               H, W, C, inv_channels, band_h, dot_product, n_views):
+               H, W, C, inv_channels, band_h, dot_product, n_views,
+               x_tiles=1):
     """Multi-view variant: grid (P, H//ROW_BLOCK, V) with the view axis
     innermost, accumulating the weighted per-view cost into the same output
-    block (which therefore stays resident in VMEM across views)."""
+    block (which therefore stays resident in VMEM across views).
+
+    meas enters as ONE whole-array VMEM operand (V*H*C, W): a per-view
+    BlockSpec would alternate view blocks every grid step (v is innermost)
+    and re-fetch ~2.6 MB from HBM each time — measured as a flat ~11.6 ms
+    floor that dwarfed the band matmuls. Whole-array residency loads each
+    view once for the entire kernel.
+
+    x_tiles: split each output row into column tiles with INDEPENDENT band
+    starts. Roll-induced y-span varies ~linearly along x, so a tile only
+    needs ~span/x_tiles band rows — the ladder then picks a tier one rung
+    lower for rotation-heavy frames at identical MXU lane utilization
+    (W_out/tile pads to the same 128-lane groups). The span check must use
+    the same tiling (max_row_spans(..., x_tiles=...))."""
     p = pl.program_id(0)
     rb = pl.program_id(1)
     v = pl.program_id(2)
 
+    W_t = W // x_tiles
     xw = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1).astype(jnp.float32)
-    jw = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0).astype(jnp.float32)
+    jw = jax.lax.broadcasted_iota(jnp.int32, (W, W_t), 0).astype(jnp.float32)
 
     base = (v * pl.num_programs(0) + p) * 9
     m00 = params_ref[base + 0]
@@ -219,45 +234,56 @@ def _kernel_mv(params_ref, weights_ref, ref_ref, meas_ref, out_ref, *,
         xs = (m00 * xw + m01 * y + m02) / den * x_scale
         ys = (m10 * xw + m11 * y + m12) / den * y_scale
 
-        in_bounds = (ys > -1.0) & (ys < jnp.float32(H))
-        ys_in = jnp.where(in_bounds, ys, jnp.float32(H))
-        lo = jnp.clip(jnp.floor(jnp.min(ys_in)), 0, H - band_h).astype(jnp.int32)
+        costs = []
+        for t in range(x_tiles):
+            xs_t = xs[:, t * W_t:(t + 1) * W_t]
+            ys_t = ys[:, t * W_t:(t + 1) * W_t]
+            in_bounds = (ys_t > -1.0) & (ys_t < jnp.float32(H))
+            ys_in = jnp.where(in_bounds, ys_t, jnp.float32(H))
+            lo = jnp.clip(jnp.floor(jnp.min(ys_in)), 0, H - band_h).astype(jnp.int32)
 
-        hatx = jnp.maximum(0.0, 1.0 - jnp.abs(xs - jw))
-        ky = lo.astype(jnp.float32) + jax.lax.broadcasted_iota(
-            jnp.int32, (band_h, 1), 0).astype(jnp.float32)
-        haty = jnp.maximum(0.0, 1.0 - jnp.abs(ys - ky))
+            hatx = jnp.maximum(0.0, 1.0 - jnp.abs(xs_t - jw))  # (W_in, W_t)
+            ky = lo.astype(jnp.float32) + jax.lax.broadcasted_iota(
+                jnp.int32, (band_h, 1), 0).astype(jnp.float32)
+            haty = jnp.maximum(0.0, 1.0 - jnp.abs(ys_t - ky))  # (Bh, W_t)
 
-        start = pl.multiple_of(lo * C, 8)
-        band = meas_ref[0, pl.ds(start, band_h * C), :]
-        xint = jax.lax.dot_general(
-            band, hatx, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            start = pl.multiple_of(v * (H * C) + lo * C, 8)
+            band = meas_ref[pl.ds(start, band_h * C), :]
+            xint = jax.lax.dot_general(
+                band, hatx, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (Bh*C, W_t)
 
-        warped = jnp.zeros((C, W), jnp.float32)
-        for k in range(band_h):
-            warped = warped + haty[k:k + 1, :] * xint[k * C:(k + 1) * C, :]
+            warped = jnp.zeros((C, W_t), jnp.float32)
+            for k in range(band_h):
+                warped = warped + haty[k:k + 1, :] * xint[k * C:(k + 1) * C, :]
 
-        if dot_product:
-            cost = jnp.sum(ref_ref[r] * warped, axis=0, keepdims=True) * inv_channels
-        else:
-            cost = jnp.sum(jnp.abs(ref_ref[r] - warped), axis=0, keepdims=True)
+            ref_t = ref_ref[r][:, t * W_t:(t + 1) * W_t]
+            if dot_product:
+                costs.append(
+                    jnp.sum(ref_t * warped, axis=0, keepdims=True) * inv_channels)
+            else:
+                costs.append(
+                    jnp.sum(jnp.abs(ref_t - warped), axis=0, keepdims=True))
+        cost = costs[0] if x_tiles == 1 else jnp.concatenate(costs, axis=1)
         out_ref[0, pl.ds(r, 1), :] += cost * w_view
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "band_h", "dot_product"))
+@functools.partial(jax.jit, static_argnames=(
+    "interpret", "band_h", "dot_product", "x_tiles"))
 def pallas_plane_sweep_multiview(ref_feat, meas_feats, plane_matrices, weights,
                                  interpret: bool = False, band_h: int = BAND_H,
-                                 dot_product: bool = True):
+                                 dot_product: bool = True, x_tiles: int = 1):
     """Fused multi-view cost volume in ONE kernel launch.
 
     ref_feat (H, W, C); meas_feats (V, H, W, C); plane_matrices (V, P, 3, 3);
     weights (V,) — per-view weights (e.g. mask/valid_count for the masked
     mean). Returns (P, H, W) of sum_v weights[v] * cost_v.
+    x_tiles: independent band starts per column tile (see _kernel_mv); the
+    caller must have validated spans with the SAME tiling.
     """
     H, W, C = ref_feat.shape
     V, P = plane_matrices.shape[:2]
-    assert H % ROW_BLOCK == 0
+    assert H % ROW_BLOCK == 0 and W % x_tiles == 0
 
     if C % 8 != 0:
         pad = 8 - C % 8
@@ -272,7 +298,7 @@ def pallas_plane_sweep_multiview(ref_feat, meas_feats, plane_matrices, weights,
         n_real = C
 
     ref_hcw = jnp.swapaxes(ref_feat, 1, 2)  # (H, C, W)
-    meas_flat = jnp.swapaxes(meas_feats, 2, 3).reshape(V, H * C, W)
+    meas_flat = jnp.swapaxes(meas_feats, 2, 3).reshape(V * H * C, W)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -280,8 +306,7 @@ def pallas_plane_sweep_multiview(ref_feat, meas_feats, plane_matrices, weights,
         in_specs=[
             pl.BlockSpec((ROW_BLOCK, C, W), lambda p, rb, v, *_: (rb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H * C, W), lambda p, rb, v, *_: (v, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # meas: whole, resident
         ],
         out_specs=pl.BlockSpec(
             (1, ROW_BLOCK, W), lambda p, rb, v, *_: (p, rb, 0),
@@ -290,7 +315,7 @@ def pallas_plane_sweep_multiview(ref_feat, meas_feats, plane_matrices, weights,
 
     kernel = functools.partial(
         _kernel_mv, H=H, W=W, C=C, inv_channels=1.0 / n_real,
-        band_h=band_h, dot_product=dot_product, n_views=V)
+        band_h=band_h, dot_product=dot_product, n_views=V, x_tiles=x_tiles)
 
     return pl.pallas_call(
         kernel,
@@ -302,13 +327,14 @@ def pallas_plane_sweep_multiview(ref_feat, meas_feats, plane_matrices, weights,
 
 
 def _kernel_mv_dyn(params_ref, weights_ref, ref_ref, meas_ref, out_ref,
-                   warped_ref, *, H, W, C, inv_channels, dot_product):
+                   *, H, W, C, inv_channels, dot_product):
     """Dynamic-trip multi-view variant, exact for ANY geometry: source rows
-    are processed in absolute 8-row-aligned chunks, and per (plane, row)
-    only the chunks intersecting that row's real y-span execute (predicated
-    sub-matmul + collapse). Cost is proportional to the actual span, not a
-    band ceiling, and there is no gather fallback to keep in sync.
-    warped_ref: (C, W) VMEM accumulator scratch."""
+    are processed in absolute 8-row-aligned chunks, and per (plane, row) a
+    ``fori_loop`` with RUNTIME bounds executes only the chunks intersecting
+    that row's real y-span (the accumulator rides the loop carry — no VMEM
+    scratch, no predicated dead regions). Cost is proportional to the
+    actual span, not a band ceiling, and there is no gather fallback to
+    keep in sync."""
     p = pl.program_id(0)
     rb = pl.program_id(1)
     v = pl.program_id(2)
@@ -330,7 +356,6 @@ def _kernel_mv_dyn(params_ref, weights_ref, ref_ref, meas_ref, out_ref,
 
     x_scale = (W - 1.0) / W
     y_scale = (H - 1.0) / H
-    n_chunks = H // 8
 
     @pl.when(v == 0)
     def _():
@@ -351,29 +376,26 @@ def _kernel_mv_dyn(params_ref, weights_ref, ref_ref, meas_ref, out_ref,
         ys_hi = jnp.where(in_bounds, ys, -1.0)
         hi = jnp.clip(jnp.floor(jnp.max(ys_hi)) + 1.0, -1.0, H - 1.0).astype(jnp.int32)
         c0 = lo // 8
-        c1 = hi // 8  # -1//8 == -1 when nothing is in bounds -> 0 chunks
-        any_in = jnp.max(in_bounds.astype(jnp.int32)) > 0
+        c1 = hi // 8  # -1//8 == -1 when nothing is in bounds -> 0 trips
 
         hatx = jnp.maximum(0.0, 1.0 - jnp.abs(xs - jw))
 
-        warped_ref[...] = jnp.zeros((C, W), jnp.float32)
-        for c in range(n_chunks):
-            @pl.when(any_in & (c0 <= c) & (c <= c1))
-            def _():
-                start = c * (8 * C)  # absolute, statically aligned
-                band = meas_ref[0, pl.ds(start, 8 * C), :]
-                xint = jax.lax.dot_general(
-                    band, hatx, dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                ky = jnp.float32(8 * c) + jax.lax.broadcasted_iota(
-                    jnp.int32, (8, 1), 0).astype(jnp.float32)
-                haty = jnp.maximum(0.0, 1.0 - jnp.abs(ys - ky))  # (8, W)
-                acc = warped_ref[...]
-                for k in range(8):
-                    acc = acc + haty[k:k + 1, :] * xint[k * C:(k + 1) * C, :]
-                warped_ref[...] = acc
+        def chunk_body(c, acc):
+            start = pl.multiple_of(v * (H * C) + c * (8 * C), 8)
+            band = meas_ref[pl.ds(start, 8 * C), :]
+            xint = jax.lax.dot_general(
+                band, hatx, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ky = (8 * c).astype(jnp.float32) + jax.lax.broadcasted_iota(
+                jnp.int32, (8, 1), 0).astype(jnp.float32)
+            haty = jnp.maximum(0.0, 1.0 - jnp.abs(ys - ky))  # (8, W)
+            for k in range(8):
+                acc = acc + haty[k:k + 1, :] * xint[k * C:(k + 1) * C, :]
+            return acc
 
-        warped = warped_ref[...]
+        warped = jax.lax.fori_loop(
+            jnp.maximum(c0, 0), c1 + 1, chunk_body,
+            jnp.zeros((C, W), jnp.float32))
         if dot_product:
             cost = jnp.sum(ref_ref[r] * warped, axis=0, keepdims=True) * inv_channels
         else:
@@ -405,7 +427,7 @@ def pallas_plane_sweep_multiview_dyn(ref_feat, meas_feats, plane_matrices, weigh
         n_real = C
 
     ref_hcw = jnp.swapaxes(ref_feat, 1, 2)
-    meas_flat = jnp.swapaxes(meas_feats, 2, 3).reshape(V, H * C, W)
+    meas_flat = jnp.swapaxes(meas_feats, 2, 3).reshape(V * H * C, W)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -413,13 +435,11 @@ def pallas_plane_sweep_multiview_dyn(ref_feat, meas_feats, plane_matrices, weigh
         in_specs=[
             pl.BlockSpec((ROW_BLOCK, C, W), lambda p, rb, v, *_: (rb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H * C, W), lambda p, rb, v, *_: (v, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # meas: whole, resident
         ],
         out_specs=pl.BlockSpec(
             (1, ROW_BLOCK, W), lambda p, rb, v, *_: (p, rb, 0),
             memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((C, W), jnp.float32)],
     )
 
     kernel = functools.partial(
@@ -435,35 +455,41 @@ def pallas_plane_sweep_multiview_dyn(ref_feat, meas_feats, plane_matrices, weigh
       ref_hcw, meas_flat)
 
 
-def _row_extremes(plane_matrices, H: int, W: int):
-    """Per-(plane, row) in-bounds y extremes (min-floor, hi-needed)."""
+def _row_extremes(plane_matrices, H: int, W: int, x_tiles: int = 1):
+    """Per-(plane, row, column-tile) in-bounds y extremes
+    (min-floor, hi-needed). With x_tiles > 1 each tile has an independent
+    band start, mirroring the kernel's per-tile ``lo``."""
     x = jnp.arange(W, dtype=jnp.float32)[None, None, :]
     y = jnp.arange(H, dtype=jnp.float32)[None, :, None]
     M = plane_matrices
     den = M[:, None, None, 2, 0] * x + M[:, None, None, 2, 1] * y + M[:, None, None, 2, 2] + 1e-8
     ys = (M[:, None, None, 1, 0] * x + M[:, None, None, 1, 1] * y + M[:, None, None, 1, 2]) / den
     ys = ys * (H - 1.0) / H
+    P = ys.shape[0]
+    ys = ys.reshape(P, H, x_tiles, W // x_tiles)
     in_bounds = (ys > -1.0) & (ys < jnp.float32(H))
     ys_in = jnp.where(in_bounds, ys, jnp.float32(H))
     lo_f = jnp.floor(jnp.min(ys_in, axis=-1))
     ys_hi = jnp.where(in_bounds, ys, -1.0)
     hi = jnp.clip(jnp.floor(jnp.max(ys_hi, axis=-1)) + 1.0, 0, H - 1)
-    return lo_f, hi
+    return lo_f, hi  # (P, H, x_tiles) each
 
 
-def max_row_span(plane_matrices, H: int, W: int, band_h: int = BAND_H):
-    """Max rows of band coverage any (plane, row) needs. The Pallas kernel
-    with band ``band_h`` is exact iff this is <= band_h; only in-bounds
-    samples count (mirrors the kernel's masked band minimum)."""
-    lo_f, hi = _row_extremes(plane_matrices, H, W)
+def max_row_span(plane_matrices, H: int, W: int, band_h: int = BAND_H,
+                 x_tiles: int = 1):
+    """Max rows of band coverage any (plane, row[, tile]) needs. The Pallas
+    kernel with band ``band_h`` (and the same x_tiles) is exact iff this is
+    <= band_h; only in-bounds samples count (mirrors the kernel's masked
+    band minimum)."""
+    lo_f, hi = _row_extremes(plane_matrices, H, W, x_tiles)
     lo = jnp.clip(lo_f, 0, H - band_h)
     return jnp.max(hi - lo) + 1.0
 
 
-def max_row_spans(plane_matrices, H: int, W: int, band_hs):
+def max_row_spans(plane_matrices, H: int, W: int, band_hs, x_tiles: int = 1):
     """Spans for several candidate band sizes from ONE coordinate
     evaluation (the field eval dominates the check's cost)."""
-    lo_f, hi = _row_extremes(plane_matrices, H, W)
+    lo_f, hi = _row_extremes(plane_matrices, H, W, x_tiles)
     return [
         jnp.max(hi - jnp.clip(lo_f, 0, H - b)) + 1.0 for b in band_hs
     ]

@@ -137,11 +137,14 @@ def pairnet_loss_fn(params, batch_stats, model, batch, flip_mask,
 
 def make_train_step(model, tx, mesh=None, kind: str = "fusionnet",
                     loss_type: str = "L1-inv", two_way: bool = False,
-                    donate: bool = True, freeze_bn: bool = False):
+                    donate: bool = True, freeze_bn: bool = False,
+                    compiler_options=None):
     """Build the jitted, sharded train step.
 
     Returns step(state, batch[, rng]) -> (state, metrics). With a mesh, the
     batch is sharded over the data axis and state is replicated.
+    compiler_options: optional dict forwarded to jax.jit — the multi-chip
+    dryrun gate uses reduced XLA optimization to keep its CPU compile fast.
     """
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
@@ -167,7 +170,8 @@ def make_train_step(model, tx, mesh=None, kind: str = "fusionnet",
         )
 
     if mesh is None:
-        return jax.jit(step, donate_argnums=(0,) if donate else ())
+        return jax.jit(step, donate_argnums=(0,) if donate else (),
+                       compiler_options=compiler_options)
 
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)
@@ -176,6 +180,7 @@ def make_train_step(model, tx, mesh=None, kind: str = "fusionnet",
         in_shardings=(repl, data, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate else (),
+        compiler_options=compiler_options,
     )
 
 

@@ -11,7 +11,15 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate_timeout" not in flags:
+    # On few-core hosts (this sandbox: nproc=1) the 8 virtual devices'
+    # in-process collective rendezvous routinely exceeds its default 40 s
+    # SIGABRT timeout — replicas serialize and blocked waits starve the
+    # rest. Waiting longer is always correct here.
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=600")
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 

@@ -103,7 +103,14 @@ def test_fusionnet_train_step_on_8_device_mesh(fusion_setup):
     tx = make_optimizer(variables["params"], FUSIONNET_STAGES[2])
     state = create_train_state(variables, tx)
     state = jax.device_put(state, replicated_sharding(mesh))
-    step = make_train_step(model, tx, mesh=mesh, kind="fusionnet", donate=False)
+    # Reduced XLA optimization: the full-opt CPU compile of the sharded BPTT
+    # step takes minutes on few-core hosts and widens the 8-thread
+    # in-process collective rendezvous skew past its 40 s abort (same
+    # rationale as dryrun_multichip; conftest raises the rendezvous
+    # timeouts before backend init).
+    step = make_train_step(
+        model, tx, mesh=mesh, kind="fusionnet", donate=False,
+        compiler_options={"xla_backend_optimization_level": "1"})
     state2, metrics = step(state, batch, jax.device_put(jax.random.PRNGKey(0), replicated_sharding(mesh)))
     assert np.isfinite(float(metrics["loss"]))
     # updated params stay replicated
