@@ -19,6 +19,12 @@ if "collective_call_terminate_timeout" not in flags:
     # rest. Waiting longer is always correct here.
     flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
               " --xla_cpu_collective_call_terminate_timeout_seconds=600")
+if "xla_backend_optimization_level" not in flags:
+    # Tests assert numerics, not speed: XLA:CPU's full optimization
+    # pipeline costs minutes per large program on a single core, and
+    # backend level 1 produces identical results (the TPU compile path is
+    # exercised separately by bench.py and the drivers).
+    flags += " --xla_backend_optimization_level=1"
 os.environ["XLA_FLAGS"] = flags
 
 import jax
