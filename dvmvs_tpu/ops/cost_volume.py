@@ -124,14 +124,16 @@ def plane_sweep_cost_volume_banded(
     n_depth_levels: int,
     band_h: int = 8,
     plane_chunk: int = 8,
+    x_tiles: int = 1,
 ) -> jnp.ndarray:
     """DIFFERENTIABLE banded hat-matmul plane sweep (pure XLA).
 
     Same math as the Pallas kernel (gather-free: dynamic source-row bands +
     hat-function interpolation matmuls on the MXU) but expressed in jnp so
     gradients flow to both feature maps — this is the fast TRAINING path;
-    inference uses the Pallas kernel. Exact iff every row's in-bounds y-span
-    fits in ``band_h`` (see pallas.cost_volume_kernel.max_row_span); training
+    inference uses the Pallas kernel. Exact iff every row's (per column
+    tile, when x_tiles > 1) in-bounds y-span fits in ``band_h`` (see
+    pallas.cost_volume_kernel.max_row_span with the same x_tiles); training
     drivers wrap it in a span-checked lax.cond against the gather path.
 
     Returns (B, H, W, P).
@@ -140,6 +142,9 @@ def plane_sweep_cost_volume_banded(
 
     B, H, W, C = ref_feat.shape
     P = n_depth_levels
+    T = x_tiles
+    Wt = W // T
+    assert W % T == 0
     inv_depths = inverse_depth_planes(min_depth, max_depth, n_depth_levels)
     Ms = jax.vmap(build_plane_matrices, in_axes=(0, 0, 0, None))(
         ref_pose, meas_pose, K, inv_depths)  # (B, P, 3, 3)
@@ -150,35 +155,44 @@ def plane_sweep_cost_volume_banded(
     ks = jnp.arange(band_h, dtype=jnp.float32)
 
     def one_batch(ref, meas, M):
-        # coords for all planes: (P, H, W)
+        # coords for all planes: (P, H, W) -> tiled (P, H, T, Wt)
         den = M[:, None, None, 2, 0] * x + M[:, None, None, 2, 1] * y \
             + M[:, None, None, 2, 2] + 1e-8
         xs = (M[:, None, None, 0, 0] * x + M[:, None, None, 0, 1] * y
               + M[:, None, None, 0, 2]) / den * ((W - 1.0) / W)
         ys = (M[:, None, None, 1, 0] * x + M[:, None, None, 1, 1] * y
               + M[:, None, None, 1, 2]) / den * ((H - 1.0) / H)
+        xs = xs.reshape(P, H, T, Wt)
+        ys = ys.reshape(P, H, T, Wt)
         in_b = (ys > -1.0) & (ys < float(H))
         ys_in = jnp.where(in_b, ys, float(H))
         lo = jnp.clip(jnp.floor(jnp.min(ys_in, axis=-1)), 0, H - band_h
-                      ).astype(jnp.int32)  # (P, H)
+                      ).astype(jnp.int32)  # (P, H, T)
 
         n_chunks = P // plane_chunk
-        xs_c = xs.reshape(n_chunks, plane_chunk, H, W)
-        ys_c = ys.reshape(n_chunks, plane_chunk, H, W)
-        lo_c = lo.reshape(n_chunks, plane_chunk, H)
+        xs_c = xs.reshape(n_chunks, plane_chunk, H, T, Wt)
+        ys_c = ys.reshape(n_chunks, plane_chunk, H, T, Wt)
+        lo_c = lo.reshape(n_chunks, plane_chunk, H, T)
 
+        # rematerialized in backward: the (chunk,H,T,band,W,C) band gather
+        # and its x-interp are the training step's peak-memory hogs (the
+        # tiled band-64 branch of the tier switch OOMed a 16 GB chip);
+        # recomputing them costs a fraction of the network backward.
+        @jax.checkpoint
         def chunk_fn(args):
-            cxs, cys, clo = args  # (c,H,W), (c,H,W), (c,H)
-            hatx = jnp.maximum(0.0, 1.0 - jnp.abs(cxs[..., None] - jw))  # (c,H,W,Win)
-            bands = jax.vmap(jax.vmap(
+            cxs, cys, clo = args  # (c,H,T,Wt), (c,H,T,Wt), (c,H,T)
+            hatx = jnp.maximum(0.0, 1.0 - jnp.abs(cxs[..., None] - jw))  # (c,H,T,Wt,Win)
+            bands = jax.vmap(jax.vmap(jax.vmap(
                 lambda l: jax.lax.dynamic_slice(meas, (l, 0, 0), (band_h, W, C))
-            ))(clo)  # (c,H,band_h,Win,C)
-            xint = jnp.einsum("pyxj,pykjc->pyxkc", hatx, bands)
-            ky = clo[..., None].astype(jnp.float32) + ks  # (c,H,band_h)
+            )))(clo)  # (c,H,T,band_h,Win,C)
+            xint = jnp.einsum("pytxj,pytkjc->pytxkc", hatx, bands)
+            ky = clo[..., None].astype(jnp.float32) + ks  # (c,H,T,band_h)
             haty = jnp.maximum(
-                0.0, 1.0 - jnp.abs(cys[..., None] - ky[:, :, None, :]))  # (c,H,W,band_h)
-            warped = jnp.einsum("pyxk,pyxkc->pyxc", haty, xint)
-            return jnp.einsum("yxc,pyxc->pyx", ref, warped) / C
+                0.0, 1.0 - jnp.abs(cys[..., None] - ky[:, :, :, None, :]))  # (c,H,T,Wt,band_h)
+            warped = jnp.einsum("pytxk,pytxkc->pytxc", haty, xint)
+            ref_t = ref.reshape(H, T, Wt, C)
+            return jnp.einsum("ytxc,pytxc->pytx", ref_t, warped).reshape(
+                plane_chunk, H, W) / C
 
         cost = jax.lax.map(chunk_fn, (xs_c, ys_c, lo_c))  # (n_chunks, c, H, W)
         return cost.reshape(P, H, W)
@@ -213,6 +227,10 @@ def plane_sweep_cost_volume_train(
     Ms = jax.vmap(build_plane_matrices, in_axes=(0, 0, 0, None))(
         ref_pose, meas_pose, K, inv_depths)
     tiers = [b for b in BAND_TIERS if b <= H]
+    # NO column tiling here, unlike the inference Pallas ladder: measured
+    # 3.8x SLOWER through XLA's einsum lowering (283 -> 1067 ms/train-step
+    # at band 16 — the extra tile axis wrecks the contraction layout),
+    # while in the hand-written kernel the same idea is a 1.8x win.
     spans = jax.vmap(
         lambda m: jnp.stack(max_row_spans(m, H, W, tuple(tiers))))(Ms)
     tier_span = [jnp.max(spans[..., i]) for i in range(len(tiers))]

@@ -44,9 +44,10 @@ BAND_H = 16       # default source rows per band (max supported roll)
 BAND_H_SMALL = 8  # fast-path band for translation-dominated motion
 # Runtime tier ladder: kernel cost scales linearly with band height, so the
 # callers pick the smallest tier whose span check passes. Real trajectories
-# (hololens keyframes) need 32/64 often — the gather fallback costs ~21 ms
-# per view at 320x256 while band-64 stays on the MXU at a fraction of that.
-BAND_TIERS = (BAND_H_SMALL, BAND_H, 32, 64)
+# (hololens keyframes) need the middle tiers often — with column tiling
+# (x_tiles=2) 36% of keyframes land in (16, 32], so the 24 rung saves ~25%
+# on those; 48 does the same for the (32, 64] tail.
+BAND_TIERS = (BAND_H_SMALL, BAND_H, 24, 32, 48, 64)
 ROW_BLOCK = 8     # output rows per grid step
 
 

@@ -6,6 +6,7 @@ reduction) to pin our XLA implementation against torch's sampling semantics.
 """
 
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -123,9 +124,10 @@ def test_fusion_masked_mean(rng):
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
 
 
-def test_banded_matches_gather_and_grads(rng):
-    """The differentiable banded hat-matmul path must match the gather path
-    in both forward values and gradients."""
+@pytest.mark.parametrize("x_tiles", [1, 2])
+def test_banded_matches_gather_and_grads(rng, x_tiles):
+    """The differentiable banded hat-matmul path (tiled and untiled) must
+    match the gather path in both forward values and gradients."""
     import jax
     from dvmvs_tpu.ops.cost_volume import plane_sweep_cost_volume_banded
     from scipy.spatial.transform import Rotation
@@ -143,7 +145,8 @@ def test_banded_matches_gather_and_grads(rng):
 
     def f_banded(r, m):
         return plane_sweep_cost_volume_banded(
-            r, m, *args, MIN_D, MAX_D, LEVELS, band_h=8, plane_chunk=4)
+            r, m, *args, MIN_D, MAX_D, LEVELS, band_h=8, plane_chunk=4,
+            x_tiles=x_tiles)
 
     def f_gather(r, m):
         return plane_sweep_cost_volume(
