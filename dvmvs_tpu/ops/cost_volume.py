@@ -100,6 +100,11 @@ def plane_sweep_cost_volume(
     # (n_chunks, B, chunk, H, W, 2)
     grids = grids.reshape(B, n_chunks, chunk, H, W, 2).transpose(1, 0, 2, 3, 4, 5)
 
+    # rematerialized in backward: the (B, chunk, H, W, C) warped slab is the
+    # peak-memory term of this path's VJP; recomputing the gather per chunk
+    # keeps the training tier-switch (which includes this branch as its
+    # exact fallback) within HBM at reference shapes.
+    @jax.checkpoint
     def chunk_fn(g):
         gg = g.reshape(B, chunk * H, W, 2)
         warped = grid_sample(meas_feat, gg, mode="bilinear", align_corners=True)
