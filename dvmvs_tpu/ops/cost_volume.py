@@ -206,45 +206,75 @@ def plane_sweep_cost_volume_banded(
     return cost.transpose(0, 2, 3, 1)
 
 
+# Default path selection for plane_sweep_cost_volume_train when the caller
+# passes method=None (the training heads do): overridable for A/B
+# benchmarking of the training ladder (scripts/bench_train_step.py) without
+# threading a config through every model layer. Read at TRACE time.
+TRAIN_CV_METHOD = "auto"
+
+
 def plane_sweep_cost_volume_train(
     ref_feat, meas_feat, ref_pose, meas_pose, K,
     min_depth, max_depth, n_depth_levels,
     plane_chunk: int = 8,
+    method: str | None = None,
 ):
     """Differentiable plane sweep with runtime path selection: the smallest
-    banded hat-matmul tier whose y-span check passes (cost is linear in the
-    band height; real keyframe geometry routinely needs 16-64 source rows,
-    docs/PERF.md), gather under extreme rotation. All branches are
-    differentiable; lax.switch executes one."""
+    band tier whose y-span check passes (cost is linear in the band height;
+    real keyframe geometry routinely needs 16-64 source rows, docs/PERF.md),
+    gather under extreme rotation. All branches are differentiable;
+    lax.switch executes one.
+
+    The banded tiers run the Pallas kernel with its custom-VJP backward
+    kernel (ops/pallas/cost_volume_vjp.py) — training rides the same MXU
+    band matmuls as inference, replacing the XLA einsum ladder
+    (plane_sweep_cost_volume_banded, kept as a conformance oracle).
+
+    method: 'auto' (Pallas VJP ladder on TPU, gather elsewhere),
+    'pallas_interpret' (the Pallas ladder in interpret mode — CPU
+    conformance tests), 'gather', 'xla_banded' (the round-2 einsum ladder).
+    """
     from dvmvs_tpu.ops.pallas.cost_volume_kernel import (
         BAND_TIERS,
         build_plane_matrices,
         max_row_spans,
     )
+    from dvmvs_tpu.ops.pallas.cost_volume_vjp import make_diff_plane_sweep
 
-    if jax.default_backend() != "tpu":
+    if method is None:
+        method = TRAIN_CV_METHOD
+    if method == "gather" or (
+            method == "auto" and jax.default_backend() != "tpu"):
         return plane_sweep_cost_volume(
             ref_feat, meas_feat, ref_pose, meas_pose, K,
             min_depth, max_depth, n_depth_levels, plane_chunk=plane_chunk)
+    interpret = method == "pallas_interpret"
 
     H, W = ref_feat.shape[1:3]
     inv_depths = inverse_depth_planes(min_depth, max_depth, n_depth_levels)
     Ms = jax.vmap(build_plane_matrices, in_axes=(0, 0, 0, None))(
         ref_pose, meas_pose, K, inv_depths)
     tiers = [b for b in BAND_TIERS if b <= H]
-    # NO column tiling here, unlike the inference Pallas ladder: measured
-    # 3.8x SLOWER through XLA's einsum lowering (283 -> 1067 ms/train-step
-    # at band 16 — the extra tile axis wrecks the contraction layout),
-    # while in the hand-written kernel the same idea is a 1.8x win.
+    # NO column tiling in the training ladder: the span check must stay in
+    # sync with the kernels, and at training shapes the untiled tiers
+    # already keep >90% of steps off the gather rung.
     spans = jax.vmap(
         lambda m: jnp.stack(max_row_spans(m, H, W, tuple(tiers))))(Ms)
     tier_span = [jnp.max(spans[..., i]) for i in range(len(tiers))]
 
     def banded(band_h):
+        if method == "xla_banded":
+            def branch():
+                return plane_sweep_cost_volume_banded(
+                    ref_feat, meas_feat, ref_pose, meas_pose, K,
+                    min_depth, max_depth, n_depth_levels, band_h, plane_chunk)
+            return branch
+
         def branch():
-            return plane_sweep_cost_volume_banded(
-                ref_feat, meas_feat, ref_pose, meas_pose, K,
-                min_depth, max_depth, n_depth_levels, band_h, plane_chunk)
+            f = make_diff_plane_sweep(band_h, interpret)
+            cost = jax.lax.map(
+                lambda t: f(t[0], t[1], t[2]), (ref_feat, meas_feat, Ms))
+            return cost.transpose(0, 2, 3, 1)  # (B, H, W, P)
         return branch
 
     def gather():

@@ -1,0 +1,179 @@
+"""Multi-scene, multi-seed accuracy proxy: the statistically meaningful
+version of scripts/accuracy_proxy.sh (round-2 verdict: one hololens scene
+is noise-dominated — run B had pairnet beating fusionnet on 4/6 metrics).
+
+Pipeline per seed:
+  1. (once) generate a procedural corpus (data/synthetic.py): N train
+     scenes + val scenes + HELD-OUT eval scenes with exact GT, plus
+     keyframe index files for the eval scenes (reference heuristic).
+  2. train pairnet on the reference 2-stage schedule.
+  3. train fusionnet warm-started from the best-val pairnet checkpoint,
+     3-stage schedule (reference fusionnet/run-training.py:118-181).
+  4. evaluate BOTH on the held-out eval scenes through the real offline
+     driver; collect the 8 reference metrics.
+Finally aggregate across seeds: mean +/- std of each metric per model and
+the fusion-vs-backbone delta with its sign consistency — the reference's
+headline claim is fusion -19.3% abs over the pairnet backbone (poster).
+
+Usage:
+  python scripts/accuracy_proxy_multiscene.py --seeds 0 1 2 \
+      [--root data_synth] [--res 256] [--subseq 8] \
+      [--pair-batch 14] [--fusion-batch 4] [--epochs 6]
+  python scripts/accuracy_proxy_multiscene.py --report-only   # re-aggregate
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+METRIC_NAMES = ["abs", "abs_rel", "abs_inv", "sq_rel", "rmse",
+                "d<1.25", "d<1.25^2", "d<1.25^3"]
+LOWER_BETTER = [True] * 5 + [False] * 3
+
+
+def run(cmd, **kw):
+    print("+", " ".join(cmd), flush=True)
+    subprocess.run(cmd, check=True, cwd=REPO, **kw)
+
+
+def select_best(run_dirs):
+    """Best-validation-L1 checkpoint across run directories (same logic as
+    accuracy_proxy.sh)."""
+    best = (float("inf"), None)
+    for rd in run_dirs:
+        vals = {}
+        metrics = os.path.join(rd, "metrics.jsonl")
+        if not os.path.exists(metrics):
+            continue
+        for line in open(metrics):
+            rec = json.loads(line)
+            if rec.get("tag") == "validation":
+                v = rec.get("values", rec)
+                if "epoch" in v:
+                    vals[int(v["epoch"])] = v["l1"]
+        for ck in glob.glob(os.path.join(rd, "*_epoch*.msgpack")):
+            e = int(ck.rsplit("epoch", 1)[1].split(".")[0])
+            if e in vals and vals[e] < best[0]:
+                best = (vals[e], ck)
+    return best[1]
+
+
+def eval_metrics(result_dir):
+    """Mean of the 8 metrics over every *errors*.npz in result_dir."""
+    rows = []
+    for f in sorted(glob.glob(os.path.join(result_dir, "*errors*.npz"))):
+        rows.append(np.load(f)["arr_0"])
+    if not rows:
+        raise FileNotFoundError(f"no errors npz under {result_dir}")
+    return np.nanmean(np.concatenate(rows, 0), 0)
+
+
+def train_and_eval_seed(args, seed):
+    runs = os.path.join("training-runs", "proxy_ms", f"seed{seed}")
+    res_root = os.path.join("results", "proxy_ms", f"seed{seed}")
+    common = ["--dataset", os.path.join(args.root, "train"),
+              "--image-size", str(args.res), str(args.res),
+              "--seed", str(seed), "--print-frequency", "25"]
+
+    run([sys.executable, "-m", "dvmvs_tpu.apps.run_training",
+         "--model", "pairnet", "--batch-size", str(args.pair_batch),
+         "--epochs", str(args.epochs),
+         "--run-directory", os.path.join(runs, "pairnet")] + common)
+    pair_ckpt = select_best(glob.glob(os.path.join(runs, "pairnet", "*")))
+    print("pairnet checkpoint:", pair_ckpt, flush=True)
+
+    run([sys.executable, "-m", "dvmvs_tpu.apps.run_training",
+         "--model", "fusionnet", "--batch-size", str(args.fusion_batch),
+         "--subsequence-length", str(args.subseq),
+         "--epochs", str(args.epochs), "--warm-start", pair_ckpt,
+         "--run-directory", os.path.join(runs, "fusionnet")] + common)
+    fusion_ckpt = select_best(glob.glob(os.path.join(runs, "fusionnet", "*")))
+    print("fusionnet checkpoint:", fusion_ckpt, flush=True)
+
+    out = {}
+    for kind, ckpt in (("pairnet", pair_ckpt), ("fusionnet", fusion_ckpt)):
+        rd = os.path.join(res_root, kind)
+        run([sys.executable, "-m", "dvmvs_tpu.apps.run_testing",
+             "--model", kind, "--data", os.path.join(args.root, "eval"),
+             "--checkpoint", ckpt, "--output", rd])
+        out[kind] = eval_metrics(rd).tolist()
+    with open(os.path.join(res_root, "summary.json"), "w") as f:
+        json.dump(out, f)
+    return out
+
+
+def report(seeds):
+    per_seed = []
+    for seed in seeds:
+        p = os.path.join("results", "proxy_ms", f"seed{seed}", "summary.json")
+        if not os.path.exists(p):
+            print(f"seed {seed}: no summary yet ({p})")
+            continue
+        per_seed.append((seed, json.load(open(p))))
+    if not per_seed:
+        return
+    pair = np.array([s["pairnet"] for _, s in per_seed])
+    fusion = np.array([s["fusionnet"] for _, s in per_seed])
+    print(f"\n=== multi-scene proxy, {len(per_seed)} seed(s) "
+          f"{[s for s, _ in per_seed]} (held-out synthetic scenes) ===")
+    print(f"{'metric':>10} {'pairnet':>16} {'fusionnet':>16} "
+          f"{'fusion-gain':>12} {'sign-consistent':>16}")
+    for i, name in enumerate(METRIC_NAMES):
+        pm, ps = pair[:, i].mean(), pair[:, i].std()
+        fm, fs = fusion[:, i].mean(), fusion[:, i].std()
+        sign = 1.0 if LOWER_BETTER[i] else -1.0
+        gains = sign * (pair[:, i] - fusion[:, i]) / np.maximum(
+            np.abs(pair[:, i]), 1e-9) * 100
+        consistent = np.all(gains > 0) or np.all(gains < 0)
+        print(f"{name:>10} {pm:8.4f}+-{ps:6.4f} {fm:8.4f}+-{fs:6.4f} "
+              f"{gains.mean():10.1f}% {str(bool(consistent)):>16}")
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--root", default="data_synth")
+    ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--subseq", type=int, default=8)
+    ap.add_argument("--pair-batch", type=int, default=14)
+    ap.add_argument("--fusion-batch", type=int, default=4)
+    ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--train-scenes", type=int, default=12)
+    ap.add_argument("--eval-scenes", type=int, default=3)
+    ap.add_argument("--frames", type=int, default=160)
+    ap.add_argument("--report-only", action="store_true")
+    args = ap.parse_args()
+
+    if args.report_only:
+        report(args.seeds)
+        return
+
+    if not os.path.exists(os.path.join(args.root, "train", "train.txt")):
+        run([sys.executable, "scripts/make_synth_scenes.py",
+             "--output", args.root,
+             "--train-scenes", str(args.train_scenes),
+             "--eval-scenes", str(args.eval_scenes),
+             "--frames", str(args.frames)])
+        run([sys.executable, "-m", "dvmvs_tpu.apps.simulate_keyframe_buffer",
+             "--dataset", os.path.join(args.root, "eval", "synth-eval"),
+             "--output", os.path.join(args.root, "eval", "indices"),
+             "--nmeas", "2"])
+
+    for seed in args.seeds:
+        print(f"\n########## seed {seed} ##########", flush=True)
+        train_and_eval_seed(args, seed)
+    report(args.seeds)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""Procedural proxy-scene generator: the rendered depth/pose/K must be
+mutually consistent in the repo's conventions (c2w poses, +z forward,
+pixel-center K) — the property that makes the synthetic corpus a valid
+training/eval substrate (exact GT by construction)."""
+
+import numpy as np
+
+from dvmvs_tpu.data.synthetic import SynthScene, default_K
+
+W, H = 80, 64
+
+
+def _pose_distance_np(p1, p2):
+    rel = np.linalg.inv(p1) @ p2
+    R, t = rel[:3, :3], rel[:3, 3]
+    rm = np.sqrt(2 * max(0.0, 1 - min(3.0, np.trace(R)) / 3))
+    return np.sqrt(t @ t + rm * rm)
+
+
+def test_cross_frame_depth_consistency():
+    """Unproject frame A with its GT depth, project into frame B, sample
+    B's GT depth: non-occluded pixels must agree to millimeters."""
+    scene = SynthScene(7)
+    poses = scene.trajectory(30)
+    K = default_K(W, H)
+    _, da = scene.render(poses[10], K, W, H)
+    _, db = scene.render(poses[16], K, W, H)
+
+    x, y = np.meshgrid(np.arange(W), np.arange(H))
+    pix = np.stack([x, y, np.ones_like(x)], -1).astype(float)
+    cam = pix @ np.linalg.inv(K).T * da[..., None]
+    world = cam @ poses[10][:3, :3].T + poses[10][:3, 3]
+    Tb = np.linalg.inv(poses[16])
+    camb = world @ Tb[:3, :3].T + Tb[:3, 3]
+    z = camb[..., 2]
+    uv = camb @ K.T
+    u, v = uv[..., 0] / uv[..., 2], uv[..., 1] / uv[..., 2]
+    valid = (z > 0.1) & (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1)
+    ui = np.clip(np.round(u).astype(int), 0, W - 1)
+    vi = np.clip(np.round(v).astype(int), 0, H - 1)
+    err = np.abs(db[vi, ui] - z)[valid]
+    # occlusion boundaries legitimately disagree, and nearest-pixel
+    # sampling at this tiny test resolution costs ~depth-slope * pixel;
+    # the bulk must still agree to a few millimeters (a convention error —
+    # w2c vs c2w, row-vs-column vectors, half-pixel K — would be ~meters)
+    assert np.median(err) < 5e-3
+    assert (err < 0.02).mean() > 0.95
+
+
+def test_full_depth_coverage_and_range():
+    scene = SynthScene(3)
+    poses = scene.trajectory(5)
+    K = default_K(W, H)
+    rgb, d = scene.render(poses[2], K, W, H)
+    assert (d > 0).all(), "closed room: every ray must hit geometry"
+    assert d.min() > 0.25 and d.max() < 20.0, "depth inside the system range"
+    assert rgb.std() > 20, "textures must carry photometric signal"
+
+
+def test_trajectory_statistics_match_video():
+    """Per-frame combined pose distance must sit well under the keyframe
+    threshold (0.1) so the selection heuristic subsamples, like real video."""
+    scene = SynthScene(11)
+    poses = scene.trajectory(120)
+    pd = np.array([_pose_distance_np(poses[i], poses[i + 1])
+                   for i in range(119)])
+    assert 0.015 < pd.mean() < 0.07
+    assert pd.max() < 0.25
+    # rotations stay valid
+    for i in range(0, 120, 17):
+        R = poses[i][:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-8)
+        assert np.linalg.det(R) > 0.99
+
+
+def test_determinism():
+    a = SynthScene(5)
+    b = SynthScene(5)
+    pa, pb = a.trajectory(4), b.trajectory(4)
+    np.testing.assert_array_equal(pa, pb)
+    K = default_K(W, H)
+    ra, da = a.render(pa[1], K, W, H)
+    rb, db = b.render(pb[1], K, W, H)
+    np.testing.assert_array_equal(ra, rb)
+    np.testing.assert_array_equal(da, db)
