@@ -119,15 +119,18 @@ class ContextNet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # every convtext — INCLUDING the final 1-channel one — ends in
+        # LeakyReLU(0.1) in the reference (dpsnet.py:260-283, applied
+        # before the residual add at :371)
         for i, (feats, dil) in enumerate(
-                [(128, 1), (128, 2), (128, 4), (96, 8), (64, 16), (32, 1)]):
+                [(128, 1), (128, 2), (128, 4), (96, 8), (64, 16), (32, 1),
+                 (1, 1)]):
             pad = ((3 - 1) * dil) // 2
             x = nn.Conv(feats, (3, 3), padding=[(pad, pad)] * 2,
                         kernel_dilation=(dil, dil), use_bias=False,
                         name=f"convtext{i}")(x)
             x = nn.leaky_relu(x, 0.1)
-        return nn.Conv(1, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
-                       name="convtext6")(x)
+        return x
 
 
 def inverse_warp(feat, depth, rel_pose34, K):

@@ -1,0 +1,201 @@
+"""Per-stage device-time breakdown of the online fusionnet step at 320x256
+(round-3 verdict item: 'no post-rework breakdown — no argued ceiling').
+
+Each stage is timed as its own lax.scan over N steps with DISTINCT per-step
+inputs and every output consumed through the carry (the three validity
+rules in docs/PERF.md: no loop-invariant hoisting, no receptive-field DCE,
+host readback). Stages:
+
+  extract   MnasNet + FPN on ONE frame (the engine encodes each accepted
+            keyframe once and caches f_half — measurement features are
+            NEVER recomputed, apps/engine.py)
+  costvol   fused Pallas multi-view plane sweep, V=2, live poses (runtime
+            span checks + plane matrices + ladder switch)
+  encoder   cost-volume hourglass encoder
+  lstm      splat hypothesis + hidden-state warp + ConvLSTM cell
+  decoder   decoder + refine + 5 depth heads
+
+Stage times need not sum exactly to the full step (XLA fuses across stage
+boundaries in the full program), but they attribute the milliseconds.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N = 50
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dvmvs_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
+
+    from bench import make_trajectory
+    from dvmvs_tpu.models.convlstm import warp_hidden_state
+    from dvmvs_tpu.models.fusionnet import FusionNet, init_lstm_carry
+    from dvmvs_tpu.models.pairnet import scale_intrinsics
+    from dvmvs_tpu.ops.cost_volume import cost_volume_fused
+    from dvmvs_tpu.ops.warp import splat_depth_max_strided
+
+    B, H, W, V = 1, 256, 320, 2
+    h2, w2 = H // 2, W // 2
+    model = FusionNet()
+    rs = np.random.RandomState(1)
+    traj = make_trajectory(N + V, rs)
+    K_np = np.array([[259.0, 0, W / 2], [0, 259.5, H / 2], [0, 0, 1]],
+                    np.float32)
+    K = jnp.asarray(K_np[None])
+
+    imgs = jnp.asarray(rs.randn(N, H, W, 3).astype(np.float32))
+    ref_poses = jnp.asarray(traj[V:])
+    meas_poses = jnp.asarray(np.stack(
+        [np.stack([traj[t - 1], traj[t - 2]]) for t in range(V, len(traj))]))
+
+    carry0 = init_lstm_carry(B, H, W)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), imgs[0][None],
+        jnp.zeros((B, V, H, W, 3), jnp.float32), ref_poses[0][None],
+        meas_poses[0][None], K, carry0, ref_poses[0][None],
+        jnp.zeros((B, H // 32, W // 32), jnp.float32))
+
+    # representative per-step tensors (distinct per step)
+    f_half_all = jnp.asarray(rs.randn(N, h2, w2, 32).astype(np.float32))
+    f_quarter = jnp.asarray(rs.randn(N, H // 4, W // 4, 32).astype(np.float32))
+    f_eighth = jnp.asarray(rs.randn(N, H // 8, W // 8, 32).astype(np.float32))
+    f_sixteenth = jnp.asarray(
+        rs.randn(N, H // 16, W // 16, 32).astype(np.float32))
+    cvs = jnp.asarray(rs.randn(N, h2, w2, 64).astype(np.float32))
+    bottoms = jnp.asarray(
+        rs.randn(N, H // 32, W // 32, 512).astype(np.float32))
+    full_depths = jnp.asarray(
+        (1.0 + 4.0 * rs.rand(N, B, H, W)).astype(np.float32))
+
+    def time_scan(label, fn, *args, reps=5, warm=2):
+        jfn = jax.jit(fn)
+        np.asarray(jfn(*args))  # compile + warm
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(jfn(*args))
+            times.append(time.perf_counter() - t0)
+        ms = min(times[warm - 1:]) / N * 1000.0
+        print(f"{label:>28}: {ms:7.3f} ms/step", flush=True)
+        return ms
+
+    results = {}
+
+    # ---- extract: one frame per step (engine caches keyframe features)
+    def extract_many(variables, imgs):
+        def body(acc, img):
+            feats = model.apply(variables, img[None],
+                                method="extract_features")
+            out = sum(f[0, 0, 0, 0] + f[0, -1, -1, -1] for f in feats)
+            return acc + out, None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), imgs)
+        return acc
+
+    results["extract_1frame"] = time_scan(
+        "extract (1 frame)", extract_many, variables, imgs)
+
+    # ---- cost volume: cached meas features riding the carry, live poses
+    def cv_many(f_half_all, ref_poses, meas_poses, K):
+        def body(state, x):
+            m1, m2, acc = state
+            fh, rp, mp = x
+            cv = cost_volume_fused(
+                fh[None], jnp.stack([m1, m2])[None], rp[None], mp[None],
+                scale_intrinsics(K, 0.5),
+                model.min_depth, model.max_depth, model.n_depth_levels)
+            acc = acc + cv[0, 0, 0, 0] + cv[0, -1, -1, -1]
+            return (fh, m1, acc), None
+        state, _ = jax.lax.scan(
+            body, (f_half_all[0], f_half_all[1], jnp.float32(0.0)),
+            (f_half_all, ref_poses, meas_poses))
+        return state[2]
+
+    results["costvol"] = time_scan(
+        "cost volume (V=2, live)", cv_many,
+        f_half_all, ref_poses, meas_poses, K)
+
+    # ---- encoder
+    def enc_many(variables, fh, fq, fe, fs, cvs):
+        def body(acc, x):
+            a, b, c, d, cv = x
+            outs = model.apply(
+                variables, a[None], b[None], c[None], d[None], cv[None],
+                False, method=lambda m, *args: m.cost_volume_encoder(*args))
+            out = sum(o[0, 0, 0, 0] + o[0, -1, -1, -1] for o in outs)
+            return acc + out, None
+        acc, _ = jax.lax.scan(
+            body, jnp.float32(0.0), (fh, fq, fe, fs, cvs))
+        return acc
+
+    results["encoder"] = time_scan(
+        "encoder", enc_many, variables, f_half_all, f_quarter, f_eighth,
+        f_sixteenth, cvs)
+
+    # ---- lstm: splat + hidden warp + cell (full recurrent dependency)
+    def lstm_many(variables, bottoms, ref_poses, full_depths, K):
+        half_K = scale_intrinsics(K, 0.5)
+        lstm_K = scale_intrinsics(K, 1.0 / 32.0)
+
+        def body(state, x):
+            h, c, prev_pose, prev_depth = state
+            bottom, rp, fd = x
+            rp = rp[None]
+            hyp = splat_depth_max_strided(
+                prev_depth, prev_pose, rp, K, half_K, H // 32, W // 32, 16)
+            h_w = warp_hidden_state(h, prev_pose, rp, hyp, lstm_K)
+            h2c, c2 = model.apply(
+                variables, bottom[None], h_w, c,
+                method=lambda m, *args: m.lstm_fusion(*args))
+            return (h2c, c2, rp, fd), None
+        state, _ = jax.lax.scan(
+            body, (carry0.h, carry0.c, ref_poses[0][None], full_depths[0]),
+            (bottoms, ref_poses, full_depths))
+        return state[0][0, 0, 0, 0] + state[1][0, -1, -1, -1]
+
+    results["lstm"] = time_scan(
+        "splat+warp+LSTM", lstm_many, variables, bottoms, ref_poses,
+        full_depths, K)
+
+    # ---- decoder (skips at encoder-output channel counts)
+    enc_skips = [  # post-aggregator skip channels: hc..hc*8 (encoder.py)
+        jnp.asarray(rs.randn(N, h2, w2, 32).astype(np.float32)),
+        jnp.asarray(rs.randn(N, H // 4, W // 4, 64).astype(np.float32)),
+        jnp.asarray(rs.randn(N, H // 8, W // 8, 128).astype(np.float32)),
+        jnp.asarray(rs.randn(N, H // 16, W // 16, 256).astype(np.float32)),
+    ]
+
+    def dec_many(variables, imgs, s0, s1, s2, s3, bottoms):
+        def body(acc, x):
+            img, a, b, c, d, bottom = x
+            depths = model.apply(
+                variables, img[None], a[None], b[None], c[None], d[None],
+                bottom[None], False,
+                method=lambda m, *args: m.cost_volume_decoder(*args))
+            out = sum(o[0, 0, 0] + o[0, -1, -1] for o in depths)
+            return acc + out, None
+        acc, _ = jax.lax.scan(
+            body, jnp.float32(0.0), (imgs, s0, s1, s2, s3, bottoms))
+        return acc
+
+    results["decoder"] = time_scan(
+        "decoder", dec_many, variables, imgs, *enc_skips, bottoms)
+
+    total = sum(results.values())
+    print(f"{'sum of stages':>28}: {total:7.3f} ms/step", flush=True)
+
+
+if __name__ == "__main__":
+    main()

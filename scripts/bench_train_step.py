@@ -143,13 +143,25 @@ def main():
     print(f"  ms/step: min {best * 1e3:.0f}  median {med * 1e3:.0f} "
           f"(over {len(times)} steps, relay RTT subtracted)")
 
-    try:
-        stats = jax.local_devices()[0].memory_stats()
+    stats = jax.local_devices()[0].memory_stats()
+    if stats:
         peak = stats.get("peak_bytes_in_use", 0) / 2**30
         lim = stats.get("bytes_limit", 0) / 2**30
         print(f"  peak HBM: {peak:.2f} GiB (limit {lim:.2f} GiB)")
-    except Exception as e:  # relay backends may not expose memory stats
-        print("  memory stats unavailable:", e)
+    else:
+        # relay backend exposes no live memory stats; report the compiled
+        # program's accounting instead (same-process second lower() hits
+        # the compilation cache)
+        ma = step_fn.lower(state, batch_at(0), rng).compile().memory_analysis()
+        if ma is not None:
+            args = getattr(ma, "argument_size_in_bytes", 0)
+            temp = getattr(ma, "temp_size_in_bytes", 0)
+            out = getattr(ma, "output_size_in_bytes", 0)
+            alias = getattr(ma, "alias_size_in_bytes", 0)
+            total = args + temp + out - alias
+            print(f"  compiled HBM: args {args / 2**30:.2f} + temp "
+                  f"{temp / 2**30:.2f} + out {out / 2**30:.2f} - aliased "
+                  f"{alias / 2**30:.2f} = {total / 2**30:.2f} GiB")
 
 
 if __name__ == "__main__":

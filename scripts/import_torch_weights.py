@@ -31,13 +31,58 @@ MODULE_ORDER = [
 ]
 
 
+def import_baseline(args):
+    """--baseline mode: convert a baseline's released torch weights
+    (mvdepthnet/gpmvs: per-module encoder/gplayer/decoder files in
+    --weights-dir, matched by name; dpsnet: one whole-model file) into a
+    msgpack loadable by apps/run_testing_baseline.py --checkpoint.
+    Mappings oracle-tested in tests/test_baseline_convert.py."""
+    from dvmvs_tpu.utils.baseline_convert import (
+        convert_dpsnet,
+        convert_gpmvs,
+        convert_mvdepthnet,
+    )
+    from dvmvs_tpu.utils.checkpoint import save_checkpoint
+    from dvmvs_tpu.utils.torch_convert import load_torch_state_dict
+
+    def find(hint):
+        for f in sorted(os.listdir(args.weights_dir)):
+            if hint in f:
+                return load_torch_state_dict(os.path.join(args.weights_dir, f))
+        raise FileNotFoundError(f"no '*{hint}*' file in {args.weights_dir}")
+
+    name = args.baseline
+    if name == "mvdepthnet":
+        variables = convert_mvdepthnet(find("encoder"), find("decoder"))
+    elif name == "gpmvs":
+        variables = convert_gpmvs(
+            find("encoder"), find("gplayer"), find("decoder"))
+    elif name == "dpsnet":
+        files = sorted(os.listdir(args.weights_dir))
+        variables = convert_dpsnet(load_torch_state_dict(
+            os.path.join(args.weights_dir, files[0])))
+    else:
+        raise SystemExit(f"no converter for baseline '{name}' "
+                         "(deltas import is not supported yet)")
+    save_checkpoint(args.output, variables)
+    print(f"wrote {args.output} (baseline {name})")
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--weights-dir", required=True,
                     help="folder with the reference's sorted per-module files")
     ap.add_argument("--model", choices=["pairnet", "fusionnet"], default="fusionnet")
+    ap.add_argument("--baseline", default=None,
+                    choices=["mvdepthnet", "gpmvs", "dpsnet"],
+                    help="convert a baseline's released weights instead of "
+                         "the main network's")
     ap.add_argument("--output", required=True, help="output .msgpack checkpoint")
     args = ap.parse_args()
+
+    if args.baseline:
+        import_baseline(args)
+        return
 
     from dvmvs_tpu.apps.engine import InferenceEngine
     from dvmvs_tpu.utils.checkpoint import save_checkpoint

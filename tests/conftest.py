@@ -38,17 +38,28 @@ import pytest
 def pytest_addoption(parser):
     parser.addoption(
         "--runslow", action="store_true", default=False,
-        help="also run tests marked slow (multi-minute compiles/training loops)",
+        help="run EVERYTHING incl. tests marked slow (multi-minute "
+             "compiles/training loops); implies --runheavy",
+    )
+    parser.addoption(
+        "--runheavy", action="store_true", default=False,
+        help="also run tests marked heavy (torch-oracle parity, train-step "
+             "and e2e-driver tests — the full-coverage tier, ~30 min on a "
+             "1-core host)",
     )
 
 
 def pytest_collection_modifyitems(config, items):
-    if config.getoption("--runslow"):
-        return
+    run_slow = config.getoption("--runslow")
+    run_heavy = run_slow or config.getoption("--runheavy")
     skip_slow = pytest.mark.skip(reason="slow test: pass --runslow to run")
+    skip_heavy = pytest.mark.skip(
+        reason="heavy test: pass --runheavy (or --runslow) to run")
     for item in items:
-        if "slow" in item.keywords:
+        if not run_slow and "slow" in item.keywords:
             item.add_marker(skip_slow)
+        elif not run_heavy and "heavy" in item.keywords:
+            item.add_marker(skip_heavy)
 
 
 @pytest.fixture

@@ -66,6 +66,7 @@ def test_kalman_matches_batch_gp(rng):
     np.testing.assert_allclose(z_last, Z_batch[-1], atol=1e-6)
 
 
+@pytest.mark.heavy
 @pytest.mark.parametrize("name", ["mvdepthnet", "gpmvs", "dpsnet"])
 def test_baseline_predict_smoke(rng, name, monkeypatch):
     """Each plugin runs end-to-end on tiny shapes with padded views."""
@@ -126,6 +127,7 @@ def test_deltas_components(rng):
     np.testing.assert_allclose(got[0], X, atol=1e-3)
 
 
+@pytest.mark.heavy
 def test_deltas_predict_smoke(rng):
     from dvmvs_tpu.baselines.deltas import Deltas
 

@@ -58,6 +58,7 @@ def tiny_cfg():
     )
 
 
+@pytest.mark.heavy
 def test_predict_scene_online_fusionnet_with_tracking_lost(
         png_scene, tiny_cfg, monkeypatch):
     """Online driver on the NaN-segment scene: keyframe buffer declares
@@ -113,6 +114,7 @@ def test_evaluate_scene_hololens_real_data(tiny_cfg):
         assert np.isfinite(p).all()
 
 
+@pytest.mark.heavy
 def test_evaluate_scene_offline_save_and_tsdf(png_scene, tiny_cfg, tmp_path):
     """Offline driver consuming an index file (incl. a TRACKING LOST line),
     npz-compatible save, then TSDF reconstruction from the saved npz."""

@@ -20,12 +20,15 @@ tests miss.
 """
 
 import numpy as np
+import pytest
 import torch
 import torch.nn as nn
 import torch.nn.functional as F
 
 import jax
 import jax.numpy as jnp
+
+pytestmark = pytest.mark.heavy
 
 from dvmvs_tpu.models.fusionnet import FusionNet, LSTMCarry
 from dvmvs_tpu.models.mnasnet import MnasFeatureExtractor

@@ -14,6 +14,8 @@ import torch.nn.functional as F
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.heavy
+
 from dvmvs_tpu.models.convlstm import MVSLayernormConvLSTMCell
 from dvmvs_tpu.models.decoder import CostVolumeDecoder
 from dvmvs_tpu.models.encoder import CostVolumeEncoder

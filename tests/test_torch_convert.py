@@ -20,9 +20,12 @@ from dvmvs_tpu.utils.torch_convert import (
 
 FPN_WEIGHTS = "/root/reference/dvmvs/fusionnet/weights/1_feature_pyramid"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isfile(FPN_WEIGHTS), reason="shipped FPN weights not mounted"
-)
+pytestmark = [
+    pytest.mark.heavy,
+    pytest.mark.skipif(
+        not os.path.isfile(FPN_WEIGHTS),
+        reason="shipped FPN weights not mounted"),
+]
 
 
 def torch_fpn_oracle(sd, levels):

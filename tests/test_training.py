@@ -20,6 +20,8 @@ from dvmvs_tpu.parallel.train import (
 )
 from tests.conftest import random_pose
 
+pytestmark = pytest.mark.heavy
+
 H = W = 64
 S = 3
 
