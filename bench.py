@@ -124,8 +124,7 @@ def main():
     K_np = np.array([[259.0, 0, W / 2], [0, 259.5, H / 2], [0, 0, 1]], np.float32)
 
     refs = jnp.asarray(rs.randn(N_STEPS, H, W, 3).astype(np.float32))
-    meass = jnp.asarray(rs.randn(N_STEPS, V, H, W, 3).astype(np.float32))
-    # per-step ref pose + the previous two keyframes as measurement views
+    # per-step ref pose; the previous two keyframes are the measurement views
     ref_poses = jnp.asarray(traj[V:])                       # (N, 4, 4)
     meas_poses = jnp.asarray(
         np.stack([np.stack([traj[t - 1], traj[t - 2]]) for t in range(V, len(traj))]))
@@ -134,33 +133,51 @@ def main():
 
     # init with step-0 geometry
     variables = jax.jit(model.init)(
-        jax.random.PRNGKey(0), refs[0][None], meass[0][None], ref_poses[0][None],
+        jax.random.PRNGKey(0), refs[0][None],
+        jnp.zeros((B, V, H, W, 3), jnp.float32), ref_poses[0][None],
         meas_poses[0][None], K, carry0, ref_poses[0][None],
         jnp.zeros((B, H // 32, W // 32), jnp.float32))
 
-    # Distinct per-step frames AND per-step poses so XLA can neither hoist
-    # the feature extraction nor constant-fold the geometry (band selection,
-    # plane matrices, splat/hidden-warp grids are runtime work); the FULL
-    # recurrent state — including the previous depth feeding the next step's
-    # forward-splat hypothesis — rides the carry so nothing is DCE'd. This
-    # is exactly the online engine's per-frame device work.
+    # ENGINE-FAITHFUL per-frame work (apps/engine.py::encode_and_predict):
+    # each accepted keyframe's features are extracted ONCE and cached in the
+    # measurement buffer, so a step extracts features for the reference
+    # frame only and consumes the previous keyframes' cached half-res
+    # features as measurement views. (The reference re-runs the backbone on
+    # every measurement frame each step, run-testing-online.py:160-163 —
+    # round-2's bench copied that and overcounted 2 extra extractions.)
+    # Distinct per-step frames AND poses so XLA can neither hoist the
+    # extraction nor constant-fold geometry; the cached features, LSTM
+    # carry, and previous depth (feeding the next splat hypothesis) all
+    # ride the scan carry so nothing is DCE'd.
     def many(variables, carry, K):
         prev_depth0 = jnp.zeros((B, H, W), jnp.float32)
         prev_pose0 = ref_poses[0][None]
 
+        def extract(img):
+            return model.apply(variables, img[None], method="extract_features")
+
+        f0 = extract(refs[0])[0][0]  # warm cache entries (half-res feats)
+        half_K = scale_intrinsics(K, 0.5)
+
         def body(state, x):
-            c, prev_depth, prev_pose = state
-            r, m, rp, mp = x
-            rp, mp = rp[None], mp[None]
-            half_K = scale_intrinsics(K, 0.5)
+            c, prev_depth, prev_pose, m1, m2, p1, p2 = state
+            r, rp = x
+            rp = rp[None]
+            feats = extract(r)
             hyp = splat_depth_max_strided(
                 prev_depth, prev_pose, rp, K, half_K, H // 32, W // 32, 16)
             depths, c2 = model.apply(
-                variables, r[None], m[None], rp, mp, K, c, prev_pose, hyp)
-            return (c2, depths[0], rp), depths[0][0, 0, 0]
+                variables, r[None], feats,
+                jnp.stack([m1, m2])[None], rp,
+                jnp.stack([p1, p2])[None], K, c, prev_pose, hyp,
+                method="predict_depth")
+            new_state = (c2, depths[0], rp, feats[0][0], m1, rp[0], p1)
+            return new_state, depths[0][0, 0, 0]
 
         _, outs = jax.lax.scan(
-            body, (carry, prev_depth0, prev_pose0), (refs, meass, ref_poses, meas_poses))
+            body, (carry, prev_depth0, prev_pose0, f0, f0,
+                   ref_poses[0], ref_poses[0]),
+            (refs, ref_poses))
         return outs
 
     many_j = jax.jit(many)

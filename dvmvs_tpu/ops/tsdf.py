@@ -33,7 +33,9 @@ def _round_half_away(x):
     return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("im_h", "im_w"))
+@functools.partial(
+    jax.jit, donate_argnums=(0, 1, 2),
+    static_argnames=("im_h", "im_w", "vol_dim"))
 def integrate_step(
     tsdf_vol: jnp.ndarray,
     weight_vol: jnp.ndarray,
@@ -48,14 +50,24 @@ def integrate_step(
     trunc_margin: float,
     im_h: int,
     im_w: int,
+    vol_dim: Tuple[int, int, int] = None,
 ):
-    """One frame of TSDF integration. Volumes are (DX, DY, DZ) f32;
-    color_im is the packed single-channel float image."""
-    DX, DY, DZ = tsdf_vol.shape
+    """One frame of TSDF integration.
 
-    vx = jax.lax.broadcasted_iota(jnp.float32, (DX, DY, DZ), 0)
-    vy = jax.lax.broadcasted_iota(jnp.float32, (DX, DY, DZ), 1)
-    vz = jax.lax.broadcasted_iota(jnp.float32, (DX, DY, DZ), 2)
+    Volumes are FLAT (DX*DY*DZ,) f32 with logical dims ``vol_dim`` —
+    a TPU-layout decision: a (DX, DY, DZ) array tiles its last two dims to
+    (8, 128), and real volumes (e.g. 92x92x58) waste ~2.3x of every
+    elementwise op on lane padding; flat 1-D arrays pad only the tail
+    (see docs/PERF.md "TSDF fusion" for measurements).
+    color_im is the packed single-channel float image.
+    """
+    DX, DY, DZ = vol_dim
+
+    idx = jax.lax.iota(jnp.int32, tsdf_vol.shape[0])
+    vx = (idx // (DY * DZ)).astype(jnp.float32)
+    rem = idx % (DY * DZ)
+    vy = (rem // DZ).astype(jnp.float32)
+    vz = (rem % DZ).astype(jnp.float32)
     px_w = vol_origin[0] + vx * voxel_size
     py_w = vol_origin[1] + vy * voxel_size
     pz_w = vol_origin[2] + vz * voxel_size
@@ -81,8 +93,14 @@ def integrate_step(
     pix_y_c = jnp.clip(pix_y, 0, im_h - 1)
     lin = pix_y_c * im_w + pix_x_c
 
-    depth_val = jnp.take(depth_im.reshape(-1), lin.reshape(-1)).reshape(lin.shape)
-    color_val = jnp.take(color_im.reshape(-1), lin.reshape(-1)).reshape(lin.shape)
+    # ONE row-gather for (depth, color) instead of two flat gathers: TPU
+    # gather cost is per-offset, so fetching 2-wide rows halves the offset
+    # count — and the row form itself lowers better (measured 6.3 ms vs
+    # 17.3 ms for two flat gathers on 1.26M voxels; docs/PERF.md).
+    src = jnp.stack([depth_im.reshape(-1), color_im.reshape(-1)], axis=-1)
+    picked = jnp.take(src, lin, axis=0)
+    depth_val = picked[:, 0]
+    color_val = picked[:, 1]
 
     depth_diff = depth_val - cam_z
     valid = in_view & (depth_val != 0) & (depth_diff >= -trunc_margin)
@@ -137,10 +155,10 @@ class TSDFVolume:
         self.vol_bnds = vol_bnds
         self.vol_origin = vol_bnds[:, 0].astype(np.float32)
 
-        shape = tuple(self.vol_dim)
-        self.tsdf = jnp.ones(shape, jnp.float32)
-        self.weight = jnp.zeros(shape, jnp.float32)
-        self.color = jnp.zeros(shape, jnp.float32)
+        n_vox = int(np.prod(self.vol_dim))
+        self.tsdf = jnp.ones((n_vox,), jnp.float32)
+        self.weight = jnp.zeros((n_vox,), jnp.float32)
+        self.color = jnp.zeros((n_vox,), jnp.float32)
 
     def integrate(self, color_im: np.ndarray, depth_im: np.ndarray,
                   K: np.ndarray, cam_pose: np.ndarray, obs_weight: float = 1.0):
@@ -154,6 +172,7 @@ class TSDFVolume:
             jnp.asarray(K.astype(np.float32)),
             jnp.asarray(cam_pose.astype(np.float32)),
             float(obs_weight), self.trunc_margin, im_h, im_w,
+            tuple(int(d) for d in self.vol_dim),
         )
 
     def integrate_frames(self, color_ims, depth_ims, K, cam_poses,
@@ -172,6 +191,8 @@ class TSDFVolume:
         K = jnp.asarray(K.astype(np.float32))
         origin = jnp.asarray(self.vol_origin)
 
+        vol_dim = tuple(int(d) for d in self.vol_dim)
+
         @jax.jit
         def scan_chunk(tsdf, weight, color, packed_c, depths_c, poses_c):
             def body(carry, x):
@@ -179,7 +200,7 @@ class TSDFVolume:
                 pc, dc, po = x
                 t, w, c = integrate_step(
                     t, w, c, origin, self.voxel_size, pc, dc, K, po,
-                    obs_weight, self.trunc_margin, im_h, im_w)
+                    obs_weight, self.trunc_margin, im_h, im_w, vol_dim)
                 return (t, w, c), None
             (tsdf, weight, color), _ = jax.lax.scan(
                 body, (tsdf, weight, color), (packed_c, depths_c, poses_c))
@@ -199,7 +220,9 @@ class TSDFVolume:
                 jnp.asarray(pc), jnp.asarray(dc), jnp.asarray(po))
 
     def get_volume(self) -> Tuple[np.ndarray, np.ndarray]:
-        return np.asarray(self.tsdf), np.asarray(self.color)
+        shape = tuple(self.vol_dim)
+        return (np.asarray(self.tsdf).reshape(shape),
+                np.asarray(self.color).reshape(shape))
 
     def get_mesh(self):
         """Marching cubes (native C++) + vertex colors; world coords."""

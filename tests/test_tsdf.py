@@ -88,7 +88,8 @@ def test_integrate_matches_oracle(rng):
 
     got_t, got_c = vol.get_volume()
     np.testing.assert_allclose(got_t, want_t, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(vol.weight), want_w, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(vol.weight).reshape(want_w.shape), want_w, atol=1e-6)
     np.testing.assert_array_equal(got_c, want_c)
     assert (np.asarray(vol.weight) > 0).any()
 
