@@ -209,8 +209,12 @@ def crawl(
 
     samples: List[Dict] = []
     if num_workers > 1:
+        # Ordered imap: with imap_unordered the concatenation order is a
+        # race, so the (seeded) shuffle below permutes a different list on
+        # every run and the sample stream is not reproducible across runs
+        # of the same seed.
         with Pool(num_workers) as pool:
-            for scene_samples in pool.imap_unordered(fn, scenes):
+            for scene_samples in pool.imap(fn, scenes):
                 samples.extend(scene_samples)
     else:
         for scene in scenes:

@@ -20,7 +20,9 @@ prefetcher — decode/augment of batch t+1 overlaps device compute of batch t.
 from __future__ import annotations
 
 import os
+import queue
 import random
+import threading
 from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -56,6 +58,7 @@ class MVSSequenceDataset:
         geometric_scale_augmentation: bool = False,
         seed: int = 0,
         scenes: Optional[List[str]] = None,
+        frame_cache_gb: Optional[float] = None,
     ):
         self.root = root
         self.split = split
@@ -81,51 +84,90 @@ class MVSSequenceDataset:
             seed=seed,
         )
 
+        # Host-side caches. Both hold only DETERMINISTIC per-frame work
+        # (decode + resize + valid-range scan) so cached and uncached paths
+        # are bit-identical and the augmentation RNG stream is untouched.
+        # With 1 host core the decode/resize dominates the step time
+        # (measured ~9x the 418 ms device step at B=14), so this is the
+        # difference between device-bound and host-bound training.
+        if frame_cache_gb is None:
+            frame_cache_gb = float(os.environ.get("DVMVS_FRAME_CACHE_GB", "8"))
+        self._frame_cache_budget = int(frame_cache_gb * (1 << 30))
+        self._frame_cache_bytes = 0
+        self._frame_cache: Dict[str, tuple] = {}
+        self._scene_cache: Dict[str, tuple] = {}
+
     def __len__(self):
         return len(self.samples)
 
-    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
-        sample = self.samples[index]
-        scene_path = os.path.join(self.root, sample["scene"])
-        indices = list(sample["indices"])
-
+    def _scene_meta(self, scene: str):
+        """(K, poses (N,4,4), sorted npz paths, PreprocessImage, new K) —
+        parsed once per scene instead of once per sample."""
+        meta = self._scene_cache.get(scene)
+        if meta is not None:
+            return meta
+        scene_path = os.path.join(self.root, scene)
         K = np.loadtxt(os.path.join(scene_path, "K.txt"), dtype=np.float32)
-        scene_poses = np.reshape(
+        poses = np.reshape(
             np.loadtxt(os.path.join(scene_path, "poses.txt"), dtype=np.float32), (-1, 4, 4))
         npzs = sorted(
             os.path.join(scene_path, f) for f in os.listdir(scene_path) if f.endswith(".npz"))
-
-        if self.split == "TRAINING" and self.rng.random_sample() > 0.5:
-            indices.reverse()
-
-        raw = [np.load(npzs[i]) for i in indices]
-        raw_images = [r["image"] for r in raw]
-        raw_depths = [r["depth"] for r in raw]
-        raw_poses = [scene_poses[i] for i in indices]
-
+        with np.load(npzs[0]) as first:
+            old_h, old_w = first["depth"].shape[:2]
         pre = PreprocessImage(
             K=K,
-            old_width=raw_images[0].shape[1],
-            old_height=raw_depths[0].shape[0],
+            old_width=old_w,
+            old_height=old_h,
             new_width=self.cfg.image_width,
             new_height=self.cfg.image_height,
             distortion_crop=0,
         )
+        meta = (K, poses, npzs, pre, pre.get_updated_intrinsics().astype(np.float32))
+        self._scene_cache[scene] = meta
+        return meta
+
+    def _load_frame(self, path: str, pre: PreprocessImage):
+        """(image float32 0..255 resized, depth float32 m resized,
+        valid-min, valid-max) with an in-RAM cache under a byte budget."""
+        hit = self._frame_cache.get(path)
+        if hit is not None:
+            return hit
+        with np.load(path) as r:
+            img, dep = r["image"], r["depth"]
+        d = dep.astype(np.float32) / 1000.0
+        d[~np.isfinite(d)] = 0.0
+        d = pre.apply_depth(d)
+        valid = d[d > 0]
+        vmin = float(valid.min()) if valid.size else np.inf
+        vmax = float(valid.max()) if valid.size else -np.inf
+        im = pre.apply_rgb(img, 1.0, [0.0] * 3, [1.0] * 3, normalize_colors=False)
+        entry = (im, d, vmin, vmax)
+        nbytes = im.nbytes + d.nbytes
+        if self._frame_cache_bytes + nbytes <= self._frame_cache_budget:
+            self._frame_cache[path] = entry
+            self._frame_cache_bytes += nbytes
+        return entry
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        sample = self.samples[index]
+        indices = list(sample["indices"])
+        _, scene_poses, npzs, pre, new_K = self._scene_meta(sample["scene"])
+
+        if self.split == "TRAINING" and self.rng.random_sample() > 0.5:
+            indices.reverse()
+
+        raw_poses = [scene_poses[i] for i in indices]
 
         depth_cfg = self.cfg.depth
         min_d, max_d = depth_cfg.max_depth, depth_cfg.min_depth
         images, depths = [], []
         rgb_sum = 0.0
-        for img, dep in zip(raw_images, raw_depths):
-            d = dep.astype(np.float32) / 1000.0
-            d[~np.isfinite(d)] = 0.0
-            d = pre.apply_depth(d)
+        for i in indices:
+            im, d, vmin, vmax = self._load_frame(npzs[i], pre)
             depths.append(d)
-            valid = d[d > 0]
-            if valid.size:
-                min_d = min(min_d, float(valid.min()))
-                max_d = max(max_d, float(valid.max()))
-            im = pre.apply_rgb(img, 1.0, [0.0] * 3, [1.0] * 3, normalize_colors=False)
+            if np.isfinite(vmin):
+                min_d = min(min_d, vmin)
+                max_d = max(max_d, vmax)
             rgb_sum += im.sum()
             images.append(im)
         rgb_average = rgb_sum / (len(images) * self.cfg.image_height * self.cfg.image_width * 3)
@@ -166,7 +208,7 @@ class MVSSequenceDataset:
             "images": np.stack(out_images).astype(np.float32),
             "depths": np.stack(out_depths).astype(np.float32),
             "poses": np.stack(out_poses).astype(np.float32),
-            "K": pre.get_updated_intrinsics().astype(np.float32),
+            "K": new_K.copy(),
         }
 
 
@@ -188,13 +230,40 @@ def batch_iterator(
         yield {k: np.stack([it[k] for it in items]) for k in items[0]}
 
 
+def host_prefetch(iterator, buffer_size: int = 2):
+    """Run the host-side batch assembly (decode + augment, pure numpy) in a
+    background thread feeding a bounded queue. Large-array numpy releases
+    the GIL, so even on a 1-core host this overlaps augmentation with the
+    time the main thread spends blocked on device results."""
+    q: queue.Queue = queue.Queue(maxsize=buffer_size)
+    sentinel = object()
+
+    def work():
+        try:
+            for item in iterator:
+                q.put(item)
+            q.put(sentinel)
+        except BaseException as e:  # propagate into the consumer
+            q.put(e)
+
+    threading.Thread(target=work, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def device_prefetch(iterator, sharding=None, buffer_size: int = 2):
     """Double-buffered host->device feed: device_put of batch t+1 is issued
-    while batch t computes (XLA dispatch is async)."""
+    while batch t computes (XLA dispatch is async). The host-side assembly
+    itself runs in a prefetch thread (host_prefetch)."""
     import jax
 
     buf = []
-    for batch in iterator:
+    for batch in host_prefetch(iterator, buffer_size):
         put = jax.device_put(batch, sharding) if sharding is not None else jax.device_put(batch)
         buf.append(put)
         if len(buf) == buffer_size:
