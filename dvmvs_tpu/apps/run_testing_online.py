@@ -5,6 +5,13 @@ buffer, predict on accepted keyframes only
 The keyframe buffer stores, per accepted keyframe, the cached half-res
 features (device) next to the pose — so the backbone runs once per keyframe
 and measurement features are never recomputed.
+
+``--live-tsdf`` additionally fuses every predicted depth into an on-device
+TSDF volume inside the same streaming loop and writes the mesh at the end —
+live 3D reconstruction, a capability beyond the reference (where
+reconstruction is a separate offline pass over saved predictions,
+sample-data/run-tsdf-reconstruction.py); practical here because the jitted
+integrate step costs ~6.8 ms/frame at 1.26M voxels (docs/PERF.md).
 """
 
 from __future__ import annotations
@@ -23,6 +30,57 @@ from dvmvs_tpu.data.preprocess import PreprocessImage
 from dvmvs_tpu.apps.engine import InferenceEngine
 from dvmvs_tpu.utils.keyframe_buffer import KeyframeBuffer
 from dvmvs_tpu.utils.results import InferenceTimer, save_results
+
+
+class LiveTSDF:
+    """Streaming TSDF fusion of predicted depths during online inference.
+
+    A live system cannot see the full trajectory in advance, so unless
+    explicit ``bounds`` are given the volume is allocated on the first
+    accepted keyframe as an axis-aligned cube of half-extent
+    ``max_depth + 2 * voxel_size`` centered on that camera position —
+    every surface the camera can observe from near the start lies inside.
+    Frames that later wander outside simply stop contributing updates
+    (out-of-volume voxels are never touched by the integrate step).
+    """
+
+    def __init__(self, voxel_size: float = 0.05, max_depth: float = 3.0,
+                 bounds=None):
+        self.voxel_size = float(voxel_size)
+        self.max_depth = float(max_depth)
+        self._bounds = None if bounds is None else np.asarray(bounds, float)
+        self.volume = None
+        self.n_integrated = 0
+
+    def integrate(self, color_im: np.ndarray, depth: np.ndarray,
+                  K: np.ndarray, pose: np.ndarray):
+        """``color_im`` must already be geometry-aligned with ``depth``/``K``
+        (same crop + resize — the driver reuses its PreprocessImage)."""
+        from dvmvs_tpu.ops.tsdf import TSDFVolume
+
+        if self.volume is None:
+            if self._bounds is None:
+                c = pose[:3, 3]
+                r = self.max_depth + 2 * self.voxel_size
+                self._bounds = np.stack([c - r, c + r], axis=1)
+            self.volume = TSDFVolume(self._bounds, voxel_size=self.voxel_size)
+        d = depth.copy()
+        d[d > self.max_depth] = 0.0
+        self.volume.integrate(
+            np.clip(color_im, 0, 255).astype(np.uint8), d, K, pose)
+        self.n_integrated += 1
+
+    def save_mesh(self, path: str):
+        from dvmvs_tpu.utils.native import write_mesh_ply
+
+        if self.volume is None:
+            print("live-tsdf: no frames integrated, no mesh written")
+            return
+        verts, faces, norms, colors = self.volume.get_mesh()
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        write_mesh_ply(path, verts, faces, norms, colors)
+        print(f"live-tsdf: {self.n_integrated} keyframes fused -> "
+              f"{len(verts)} vertices / {len(faces)} faces -> {path}")
 
 
 class _FramePrefetcher:
@@ -55,6 +113,7 @@ def predict_scene(
     cfg: TestConfig,
     evaluate: bool = True,
     max_frames=None,
+    live_tsdf: "LiveTSDF | None" = None,
 ):
     scene = load_scene(scene_path)
     buf = KeyframeBuffer(
@@ -118,6 +177,10 @@ def predict_scene(
         timer.record_end_time_and_elapsed_time()
         buf.buffer[-1] = (pose, f_half, image if cfg.visualize else None)
         predictions.append(depth)
+        if live_tsdf is not None:
+            color = preprocessor.apply_rgb(
+                image_raw, 1.0, [0.0] * 3, [1.0] * 3, normalize_colors=False)
+            live_tsdf.integrate(color, depth, updated_K, pose)
 
         if cfg.visualize:
             # reference Config.test_visualize (run-testing-online.py:216-221)
@@ -148,12 +211,31 @@ def main():
     ap.add_argument("--n-measurement-frames", type=int, default=2)
     ap.add_argument("--no-evaluate", action="store_true")
     ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--width", type=int, default=None,
+                    help="test image width (default: config default)")
+    ap.add_argument("--height", type=int, default=None,
+                    help="test image height (default: config default)")
     ap.add_argument("--visualize", action="store_true",
                     help="live cv2 windows (or PNG panels when headless)")
+    ap.add_argument("--live-tsdf", default=None, metavar="MESH.ply",
+                    help="fuse predicted depths into an on-device TSDF "
+                         "volume inside the streaming loop; write the "
+                         "colored mesh here at the end")
+    ap.add_argument("--tsdf-voxel-size", type=float, default=0.05)
+    ap.add_argument("--tsdf-max-depth", type=float, default=3.0)
+    ap.add_argument("--tsdf-bounds", type=float, nargs=6, default=None,
+                    metavar=("X0", "X1", "Y0", "Y1", "Z0", "Z1"),
+                    help="explicit volume bounds (default: cube of "
+                         "half-extent max-depth around the first keyframe)")
     args = ap.parse_args()
 
+    size_kw = {}
+    if args.width is not None:
+        size_kw["image_width"] = args.width
+    if args.height is not None:
+        size_kw["image_height"] = args.height
     cfg = TestConfig(n_measurement_frames=args.n_measurement_frames,
-                     visualize=args.visualize)
+                     visualize=args.visualize, **size_kw)
     engine = InferenceEngine(args.model, cfg)
     if args.checkpoint:
         from dvmvs_tpu.utils.checkpoint import load_checkpoint
@@ -165,10 +247,21 @@ def main():
         f"keyframe_{dataset_name}_{cfg.image_width}_{cfg.image_height}"
         f"_{args.n_measurement_frames}_dvmvs_tpu_{args.model}_online"
     )
+    live_tsdf = None
+    if args.live_tsdf:
+        bounds = None
+        if args.tsdf_bounds is not None:
+            bounds = np.asarray(args.tsdf_bounds, float).reshape(3, 2)
+        live_tsdf = LiveTSDF(voxel_size=args.tsdf_voxel_size,
+                             max_depth=args.tsdf_max_depth, bounds=bounds)
+
     print("Predicting with System:", system_name)
     predictions, gts = predict_scene(
-        engine, args.scene, cfg, evaluate=not args.no_evaluate, max_frames=args.max_frames)
+        engine, args.scene, cfg, evaluate=not args.no_evaluate,
+        max_frames=args.max_frames, live_tsdf=live_tsdf)
     save_results(predictions, gts, system_name, scene_name, args.output)
+    if live_tsdf is not None:
+        live_tsdf.save_mesh(args.live_tsdf)
 
 
 if __name__ == "__main__":

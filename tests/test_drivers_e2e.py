@@ -161,3 +161,51 @@ def test_evaluate_scene_offline_save_and_tsdf(png_scene, tiny_cfg, tmp_path):
     tsdf = np.asarray(volume.tsdf)
     assert np.isfinite(tsdf).all()
     assert (tsdf < 0.999).any(), "no voxel was ever updated"
+
+
+@pytest.mark.heavy
+def test_predict_scene_online_live_tsdf(png_scene, tiny_cfg, tmp_path):
+    """Online driver with --live-tsdf: every accepted keyframe's prediction
+    is fused into the on-device TSDF volume inside the streaming loop and a
+    colored mesh is written at the end (streaming reconstruction — the
+    reference only reconstructs offline from saved npz,
+    sample-data/run-tsdf-reconstruction.py:477-662)."""
+    from dvmvs_tpu.apps.engine import InferenceEngine
+    from dvmvs_tpu.apps.run_testing_online import LiveTSDF, predict_scene
+
+    engine = InferenceEngine("pairnet", tiny_cfg)
+    scene = os.path.join(png_scene, "tinyset", "000")
+    # explicit bounds covering the +x walk so the tiny volume stays tiny
+    live = LiveTSDF(voxel_size=0.35, max_depth=20.0,
+                    bounds=np.array([[-2.0, 6.0], [-2.0, 2.0], [0.0, 4.0]]))
+    predictions, _ = predict_scene(
+        engine, scene, tiny_cfg, evaluate=False, max_frames=4,
+        live_tsdf=live)
+    assert len(predictions) == 4
+    assert live.n_integrated == len(predictions)
+    tsdf = np.asarray(live.volume.tsdf)
+    assert np.isfinite(tsdf).all()
+    assert (tsdf < 0.999).any(), "no voxel was ever updated"
+
+    mesh_path = str(tmp_path / "live_complete.ply")
+    live.save_mesh(mesh_path)
+    assert os.path.exists(mesh_path)
+
+
+@pytest.mark.heavy
+def test_live_tsdf_auto_bounds(png_scene, tiny_cfg):
+    """Without explicit bounds the volume is allocated around the first
+    keyframe's camera position with half-extent max_depth."""
+    from dvmvs_tpu.apps.engine import InferenceEngine
+    from dvmvs_tpu.apps.run_testing_online import LiveTSDF, predict_scene
+
+    engine = InferenceEngine("pairnet", tiny_cfg)
+    scene = os.path.join(png_scene, "tinyset", "000")
+    live = LiveTSDF(voxel_size=0.5, max_depth=2.0)
+    predict_scene(engine, scene, tiny_cfg, evaluate=False, max_frames=2,
+                  live_tsdf=live)
+    assert live.volume is not None
+    ext = live.volume.vol_bnds[:, 1] - live.volume.vol_bnds[:, 0]
+    assert (ext >= 2 * 2.0).all()
+    # first keyframe camera sits near the origin of the +x walk
+    assert abs(live.volume.vol_bnds[0, 0] - (-3.0)) < 1.5
