@@ -37,6 +37,19 @@ from dvmvs_tpu.utils.losses import LossMeter
 from dvmvs_tpu.utils.run_logging import RunLogger, snapshot_code
 
 
+def stage_epoch_budget(n_stages: int, stage_i: int, epoch: int,
+                       finetune_epochs: int, total_epochs: int) -> int:
+    """Epochs left to run in stage ``stage_i`` given the global ``epoch``
+    counter. Every non-last stage runs exactly ``finetune_epochs``; the last
+    stage runs whatever remains of ``total_epochs``. On a mid-stage
+    ``--resume`` the global counter is past the stage's start, so subtract
+    the epochs this stage already completed (reference schedule:
+    fusionnet/run-training.py:118-181, one unfreeze stage per block)."""
+    if stage_i == n_stages - 1:
+        return total_epochs - epoch
+    return finetune_epochs - max(0, epoch - stage_i * finetune_epochs)
+
+
 def init_variables(model, kind: str, cfg: TrainConfig, rng_seed: int = 0):
     import jax.numpy as jnp
 
@@ -258,7 +271,8 @@ def main():
         eval_fn = make_eval_step(model, kind=kind)
 
         last_stage = stage_i == len(stages) - 1
-        n_epochs = (cfg.epochs - epoch) if last_stage else cfg.finetune_epochs
+        n_epochs = stage_epoch_budget(
+            len(stages), stage_i, epoch, cfg.finetune_epochs, cfg.epochs)
         for _ in range(n_epochs):
             print(f"\nEPOCH {epoch} (stage {stage_i}: {modules})")
             state, meter = run_epoch(

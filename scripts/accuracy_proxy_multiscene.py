@@ -28,8 +28,11 @@ import argparse
 import glob
 import json
 import os
+import signal
 import subprocess
 import sys
+import threading
+import time
 
 import numpy as np
 
@@ -40,10 +43,128 @@ METRIC_NAMES = ["abs", "abs_rel", "abs_inv", "sq_rel", "rmse",
                 "d<1.25", "d<1.25^2", "d<1.25^3"]
 LOWER_BETTER = [True] * 5 + [False] * 3
 
+# the remote-TPU relay occasionally drops an RPC mid-flight and JAX blocks
+# forever on the reply (observed: 2h+ silent hang mid-epoch). Every child
+# process is therefore run under an output-staleness watchdog: no stdout for
+# STALE_SECS -> kill -9 the child and retry, resuming training from the
+# latest full-state checkpoint. Normal silent windows (validation pass +
+# state serialization) are < 10 min; 15 min is comfortably above them.
+STALE_SECS = 900
+
+# children write through a pipe now; force line-visible output so the
+# staleness watchdog never mistakes python block-buffering for a hang
+CHILD_ENV = {**os.environ, "PYTHONUNBUFFERED": "1"}
+
 
 def run(cmd, **kw):
     print("+", " ".join(cmd), flush=True)
-    subprocess.run(cmd, check=True, cwd=REPO, **kw)
+    subprocess.run(cmd, check=True, cwd=REPO, env=CHILD_ENV, **kw)
+
+
+def tpu_alive(probe_timeout=90):
+    """The relay TPU goes down for stretches (observed: jax.devices() itself
+    blocks forever). Probe it in a bounded subprocess."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(len(jax.devices()))"],
+            timeout=probe_timeout, capture_output=True, env=CHILD_ENV)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def wait_for_tpu():
+    waited = 0
+    while not tpu_alive():
+        print(f"TPU relay unreachable (waited {waited}s); retrying in 120s",
+              flush=True)
+        time.sleep(120)
+        waited += 120
+    if waited:
+        print(f"TPU relay back after {waited}s", flush=True)
+
+
+def run_watchdog(cmd, stale_secs=STALE_SECS):
+    """Run cmd streaming its output; kill it if output stalls. Returns
+    (returncode, stalled: bool)."""
+    print("+", " ".join(cmd), flush=True)
+    proc = subprocess.Popen(cmd, cwd=REPO, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True,
+                            start_new_session=True, env=CHILD_ENV)
+    last = [time.time()]
+
+    def pump():
+        for line in proc.stdout:
+            sys.stdout.write(line)
+            sys.stdout.flush()
+            last[0] = time.time()
+
+    t = threading.Thread(target=pump, daemon=True)
+    t.start()
+    while True:
+        rc = proc.poll()
+        if rc is not None:
+            t.join(timeout=10)
+            return rc, False
+        if time.time() - last[0] > stale_secs:
+            print(f"\nWATCHDOG: no output for {stale_secs}s, killing pid "
+                  f"{proc.pid}", flush=True)
+            try:  # kill the whole session (child may have forked helpers)
+                os.killpg(proc.pid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                proc.kill()
+            proc.wait()
+            return -9, True
+        time.sleep(20)
+
+
+def latest_state(parent_dir, kind):
+    """Newest full-state checkpoint under parent_dir/*/ for this model."""
+    paths = glob.glob(os.path.join(
+        parent_dir, "*", f"{kind}_latest.state.msgpack"))
+    return max(paths, key=os.path.getmtime) if paths else None
+
+
+def train_resilient(kind, parent_dir, base_cmd, target_epochs,
+                    max_failures=5):
+    """Run a training command to completion, resuming from the latest
+    full-state checkpoint after a watchdog kill (or any crash). Watchdog
+    stalls are environment flakes (relay outage) and don't count against
+    max_failures — each retry is gated on the relay being reachable."""
+    failures = 0
+    while failures < max_failures:
+        wait_for_tpu()
+        cmd = list(base_cmd)
+        st = latest_state(os.path.join(REPO, parent_dir), kind)
+        if st:
+            meta = json.load(open(st + ".meta.json"))
+            if meta["epoch"] >= target_epochs:
+                print(f"{kind}: already trained to epoch {meta['epoch']}, "
+                      f"skipping", flush=True)
+                return
+            cmd += ["--resume", os.path.relpath(st, REPO)]
+        rc, stalled = run_watchdog(cmd)
+        if rc == 0:
+            return
+        if not stalled:
+            failures += 1
+        print(f"{kind}: attempt exited rc={rc} (stalled={stalled}, "
+              f"failures={failures}); retrying with resume", flush=True)
+        time.sleep(30)
+    raise RuntimeError(f"{kind} training failed {max_failures}x")
+
+
+def eval_resilient(cmd, max_attempts=4):
+    for attempt in range(max_attempts):
+        wait_for_tpu()
+        rc, stalled = run_watchdog(cmd)
+        if rc == 0:
+            return
+        print(f"eval attempt {attempt} rc={rc} stalled={stalled}; retrying",
+              flush=True)
+        time.sleep(30)
+    raise RuntimeError(f"eval failed after {max_attempts} attempts")
 
 
 def select_best(run_dirs):
@@ -81,29 +202,40 @@ def eval_metrics(result_dir):
 def train_and_eval_seed(args, seed):
     runs = os.path.join("training-runs", "proxy_ms", f"seed{seed}")
     res_root = os.path.join("results", "proxy_ms", f"seed{seed}")
+    summary = os.path.join(res_root, "summary.json")
+    if os.path.exists(summary):
+        print(f"seed {seed}: summary exists, skipping", flush=True)
+        return json.load(open(summary))
     common = ["--dataset", os.path.join(args.root, "train"),
               "--image-size", str(args.res), str(args.res),
               "--seed", str(seed), "--print-frequency", "25"]
 
-    run([sys.executable, "-m", "dvmvs_tpu.apps.run_training",
+    train_resilient(
+        "pairnet", os.path.join(runs, "pairnet"),
+        [sys.executable, "-m", "dvmvs_tpu.apps.run_training",
          "--model", "pairnet", "--batch-size", str(args.pair_batch),
          "--epochs", str(args.epochs),
-         "--run-directory", os.path.join(runs, "pairnet")] + common)
+         "--run-directory", os.path.join(runs, "pairnet")] + common,
+        target_epochs=args.epochs)
     pair_ckpt = select_best(glob.glob(os.path.join(runs, "pairnet", "*")))
     print("pairnet checkpoint:", pair_ckpt, flush=True)
 
-    run([sys.executable, "-m", "dvmvs_tpu.apps.run_training",
+    train_resilient(
+        "fusionnet", os.path.join(runs, "fusionnet"),
+        [sys.executable, "-m", "dvmvs_tpu.apps.run_training",
          "--model", "fusionnet", "--batch-size", str(args.fusion_batch),
          "--subsequence-length", str(args.subseq),
          "--epochs", str(args.epochs), "--warm-start", pair_ckpt,
-         "--run-directory", os.path.join(runs, "fusionnet")] + common)
+         "--run-directory", os.path.join(runs, "fusionnet")] + common,
+        target_epochs=args.epochs)
     fusion_ckpt = select_best(glob.glob(os.path.join(runs, "fusionnet", "*")))
     print("fusionnet checkpoint:", fusion_ckpt, flush=True)
 
     out = {}
     for kind, ckpt in (("pairnet", pair_ckpt), ("fusionnet", fusion_ckpt)):
         rd = os.path.join(res_root, kind)
-        run([sys.executable, "-m", "dvmvs_tpu.apps.run_testing",
+        eval_resilient(
+            [sys.executable, "-m", "dvmvs_tpu.apps.run_testing",
              "--model", kind, "--data", os.path.join(args.root, "eval"),
              "--checkpoint", ckpt, "--output", rd])
         out[kind] = eval_metrics(rd).tolist()

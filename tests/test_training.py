@@ -147,3 +147,33 @@ def test_pairnet_train_step(rng):
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_stage_epoch_budget_schedule_and_resume():
+    """Epoch budgeting per unfreeze stage, incl. mid-stage resume (the
+    global epoch counter is past the stage start after a crash-resume)."""
+    from dvmvs_tpu.apps.run_training import stage_epoch_budget
+
+    # pairnet fresh run: 2 stages, finetune=2, total 6 -> [2, 4]
+    assert stage_epoch_budget(2, 0, 0, 2, 6) == 2
+    assert stage_epoch_budget(2, 1, 2, 2, 6) == 4
+    # fusionnet fresh run: 3 stages, finetune=1, total 6 -> [1, 1, 4]
+    assert stage_epoch_budget(3, 0, 0, 1, 6) == 1
+    assert stage_epoch_budget(3, 1, 1, 1, 6) == 1
+    assert stage_epoch_budget(3, 2, 2, 1, 6) == 4
+    # resume mid last stage (pairnet epoch 3 of 6, stage 1) -> 3 left
+    assert stage_epoch_budget(2, 1, 3, 2, 6) == 3
+    # resume mid a NON-last stage (pairnet epoch 1 of 6, stage 0): one of
+    # stage 0's two epochs is done -> 1 left, and stage 1 then gets 4
+    assert stage_epoch_budget(2, 0, 1, 2, 6) == 1
+    assert stage_epoch_budget(2, 1, 2, 2, 6) == 4
+    # sanity: total epochs across stages always sums to `total`
+    for resume_epoch in range(6):
+        stage = min(resume_epoch // 2, 1)
+        total = 0
+        e = resume_epoch
+        for s in range(stage, 2):
+            n = stage_epoch_budget(2, s, e, 2, 6)
+            total += n
+            e += n
+        assert e == 6, (resume_epoch, e)
