@@ -84,12 +84,18 @@ def convert_mvdepthnet(encoder_sd, decoder_sd) -> Dict:
             "decoder": convert_mvdepth_decoder(decoder_sd)}
 
 
+def convert_gplayer(gplayer_sd) -> Dict:
+    """The GPlayer stores LOG hyperparameters (gplayer.py:11-13, exp()
+    applied at use: :29-31) — the only baseline weight artifact the
+    reference repository actually ships."""
+    return {name: float(np.exp(np.asarray(gplayer_sd[name]).reshape(())))
+            for name in ("gamma2", "ell", "sigma2")}
+
+
 def convert_gpmvs(encoder_sd, gplayer_sd, decoder_sd) -> Dict:
-    """GP-MVS shares the MVDepthNet U-Net; the GPlayer stores LOG
-    hyperparameters (gplayer.py:11-13, exp() applied at use: :29-31)."""
+    """GP-MVS shares the MVDepthNet U-Net + the GPlayer hyperparameters."""
     out = convert_mvdepthnet(encoder_sd, decoder_sd)
-    for name in ("gamma2", "ell", "sigma2"):
-        out[name] = float(np.exp(np.asarray(gplayer_sd[name]).reshape(())))
+    out.update(convert_gplayer(gplayer_sd))
     return out
 
 

@@ -39,24 +39,47 @@ def import_baseline(args):
     Mappings oracle-tested in tests/test_baseline_convert.py."""
     from dvmvs_tpu.utils.baseline_convert import (
         convert_dpsnet,
+        convert_gplayer,
         convert_gpmvs,
         convert_mvdepthnet,
     )
     from dvmvs_tpu.utils.checkpoint import save_checkpoint
     from dvmvs_tpu.utils.torch_convert import load_torch_state_dict
 
-    def find(hint):
+    def locate(hint):
         for f in sorted(os.listdir(args.weights_dir)):
             if hint in f:
-                return load_torch_state_dict(os.path.join(args.weights_dir, f))
-        raise FileNotFoundError(f"no '*{hint}*' file in {args.weights_dir}")
+                return os.path.join(args.weights_dir, f)
+        return None
+
+    def find(hint):
+        p = locate(hint)
+        if p is None:
+            raise FileNotFoundError(f"no '*{hint}*' file in {args.weights_dir}")
+        return load_torch_state_dict(p)
 
     name = args.baseline
     if name == "mvdepthnet":
         variables = convert_mvdepthnet(find("encoder"), find("decoder"))
     elif name == "gpmvs":
-        variables = convert_gpmvs(
-            find("encoder"), find("gplayer"), find("decoder"))
+        if locate("encoder") and locate("decoder"):
+            variables = convert_gpmvs(
+                find("encoder"), find("gplayer"), find("decoder"))
+        else:
+            # partial import: the repository ships ONLY the finetuned
+            # GPlayer (encoder/decoder are gitignored release downloads,
+            # gpmvs/run-testing.py:34-39) — convert the hyperparameters and
+            # keep the template-initialized U-Net, mirroring the main-net
+            # partial-import behavior.
+            from dvmvs_tpu.baselines.gpmvs import GPMVS
+            from dvmvs_tpu.utils.jax_setup import setup_jax
+            setup_jax()
+            model = GPMVS(seed=0)
+            variables = {"encoder": model.enc_vars,
+                         "decoder": model.dec_vars}
+            variables.update(convert_gplayer(find("gplayer")))
+            print("partial import: gplayer hyperparameters only "
+                  "(U-Net left at template init)")
     elif name == "dpsnet":
         files = sorted(os.listdir(args.weights_dir))
         variables = convert_dpsnet(load_torch_state_dict(

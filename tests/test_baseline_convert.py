@@ -7,6 +7,8 @@ same pattern that proved the main network's converter
 this sandbox (zero egress), structural 1:1-ness of the mapping IS the
 testable property."""
 
+import os
+
 import numpy as np
 import pytest
 import torch
@@ -318,3 +320,36 @@ def test_dpsnet_converter_oracle(rng):
         jnp.asarray(ctx_in.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(
         ctx_t, np.asarray(ctx_j).transpose(0, 3, 1, 2), atol=3e-4)
+
+
+REF_GPLAYER = ("/root/reference/dvmvs/baselines/gpmvs/finetuned-weights/"
+               "finetuned_gpmvs_gplayer")
+
+
+@pytest.mark.skipif(not os.path.exists(REF_GPLAYER),
+                    reason="reference gplayer weights not present")
+def test_gpmvs_shipped_finetuned_gplayer_imports():
+    """The only baseline weight artifact the reference actually ships is
+    the finetuned GPlayer (gpmvs/run-testing.py:34-39 loads it alongside
+    the gitignored encoder/decoder). Import the REAL file: log-space
+    scalars -> exp() hyperparameters consumed by the Kalman state-space
+    filter."""
+    gp_sd = {k: v.numpy() for k, v in torch.load(
+        REF_GPLAYER, map_location="cpu", weights_only=True).items()}
+    assert set(gp_sd) == {"gamma2", "ell", "sigma2"}
+
+    # converter applies exp() exactly once (reference gplayer.py:29-31)
+    enc_t, dec_t = TorchMVDEncoder(), TorchMVDDecoder()
+    out = convert_gpmvs(_sd(enc_t), gp_sd, _sd(dec_t))
+    for name in ("gamma2", "ell", "sigma2"):
+        assert np.isclose(out[name], np.exp(float(gp_sd[name][0]))), name
+        assert out[name] > 0
+
+    # the finetuned hyperparameters drive a usable Kalman filter: Pinf is
+    # positive-definite and a measurement update stays finite
+    from dvmvs_tpu.baselines.gpmvs import KalmanLatentState
+    kal = KalmanLatentState(
+        8, gamma2=out["gamma2"], ell=out["ell"], sigma2=out["sigma2"])
+    assert np.all(np.linalg.eigvalsh(kal.Pinf) > 0)
+    z = kal.step(np.ones(8, np.float32), dt=0.1)
+    assert np.isfinite(z).all()
