@@ -6,26 +6,35 @@ sparse-then-dense depth):
      eighth/sixteenth + 2048-ch features; the detector head (65-way with
      dustbin + depth-to-space) and descriptor head (concat with skips) run
      at H/8; iterative max-pool NMS; fixed-K top-k keypoints (static
-     shapes); L2-normalized 256-d descriptors sampled at keypoints.
+     shapes); L2-normalized 128-d descriptors sampled at keypoints.
   2. Triangulation (triangulation.py:234-560): ROTATED-ROI depth-guided
      epipolar matching — each keypoint's search region is the epipolar
      segment between its reprojections at min/max depth, represented as a
      rotated box (xc, yc, h=2*dist+1, w=len, theta from the fundamental
      matrix's epiline), sampled as an out_length x (2*dist+1) patch;
-     descriptor correlation + BatchNorm'd match map; learned confidence
-     head (3x3 conv + BN + global max-pool + sigmoid); 2-D soft-argmax
-     (integrate_tensor_2d) mapped back through the ROI transform; then
-     confidence-weighted multi-view linear DLT triangulation (SVD,
-     triangulation.py:25-60).
+     descriptor correlation + BatchNorm'd match map; confidence =
+     sigmoid(global max of the match map) gated by segment validity
+     (triangulation.py:485-497 — the convD_confa layers exist in the
+     reference state_dict but its inference forward never applies them);
+     2-D soft-argmax (integrate_tensor_2d) mapped back through the ROI
+     transform; then confidence-weighted multi-view linear DLT
+     triangulation (SVD, triangulation.py:25-60).
   3. Sparse-to-dense densification (densedepth.py:205-355): the learnt
-     sparse depth runs through its own ResNet-50 trunk; its skips are
-     concatenated with the image trunk's skips; Gudi up-projection decoder
-     (5x5 + 3x3 branch with 5x5 shortcut, nearest x2 upsampling) with ASPP
-     at 1/8 and multiscale 1x1 heads.
+     sparse depth runs through a NARROW 1-channel ResNet-50 trunk
+     (resnet_s2d.py:104-120: widths 16/16/32/64/128, i.e. stage outputs
+     64/128/256/512); its skips are concatenated with the image trunk's
+     skips; Gudi up-projection decoder (zero-stuffed 2x unpool, 5x5 conv,
+     concat skip, 3x3 convs, 5x5 shortcut) with dense-cascade ASPP at 1/8
+     (daspp_1..5, dilations 3/6/12/18/24, densedepth.py:167-203) and
+     multiscale 1x1 heads; conv_final emits RAW depth
+     (densedepth.py:345-352 — no output activation).
 
-The reference's pretrained torch weights are not portable here; parity is
-architectural (same stages, search geometry, heads), with static shapes
-throughout: fixed keypoint count K and fixed patch length with validity
+Module/parameter layout mirrors the reference state_dict 1:1, so the
+released pretrained checkpoint (one file holding state_dict /
+state_dict_tri / state_dict_depth, run-testing.py:103-109) converts via
+utils/baseline_convert.convert_deltas. Deliberate behavioral deviations
+(static shapes): fixed keypoint count K taken as a plain top-k instead of
+threshold -> top-k -> random refill (superpoint.py:205-232), and validity
 masking instead of data-dependent keypoint lists.
 """
 
@@ -48,9 +57,31 @@ DIST_ORTHO = 1         # rows each side of the segment (reference dist_ortogonal
 MIN_DEPTH, MAX_DEPTH = 0.5, 10.0
 
 
+def _nearest_resize_torch(x, out_h, out_w):
+    """F.interpolate(mode='nearest') index rule: src = floor(dst * in/out)
+    (used by Gudi_UpProj_Block_Cat.forward when the skip size is not a
+    multiple of the input size, densedepth.py:126-133)."""
+    B, H, W, C = x.shape
+    ih = jnp.floor(jnp.arange(out_h) * (H / out_h)).astype(jnp.int32)
+    iw = jnp.floor(jnp.arange(out_w) * (W / out_w)).astype(jnp.int32)
+    return x[:, ih][:, :, iw]
+
+
+def _unpool_zero(x, out_h, out_w):
+    """Zero-stuffed 2x unpool then crop (reference Unpool,
+    densedepth.py:17-32: conv_transpose with a [1,0;0,0] kernel — value at
+    the top-left of every 2x2 cell, zeros elsewhere; the simple block's
+    masked nearest upsample, densedepth.py:59-70, is the same map)."""
+    B, H, W, C = x.shape
+    up = jnp.zeros((B, 2 * H, 2 * W, C), x.dtype).at[:, ::2, ::2, :].set(x)
+    return up[:, :out_h, :out_w]
+
+
 # --------------------------------------------------------- ResNet-50 trunk
 class Bottleneck(nn.Module):
-    """torchvision-style bottleneck: 1x1 -> 3x3(stride) -> 1x1(x4) + skip."""
+    """torchvision-style bottleneck: 1x1 -> 3x3(stride) -> 1x1(x4) + skip.
+    Explicit torch padding so stride-2 windows align with the reference
+    (SAME pads (0,1) where torch pads (1,1))."""
 
     features: int
     stride: int = 1
@@ -62,7 +93,7 @@ class Bottleneck(nn.Module):
         y = nn.Conv(self.features, (1, 1), use_bias=False, name="c1")(x)
         y = nn.relu(bn("bn1")(y))
         y = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
-                    padding="SAME", use_bias=False, name="c2")(y)
+                    padding=[(1, 1), (1, 1)], use_bias=False, name="c2")(y)
         y = nn.relu(bn("bn2")(y))
         y = nn.Conv(self.features * 4, (1, 1), use_bias=False, name="c3")(y)
         y = bn("bn3")(y)
@@ -75,9 +106,11 @@ class Bottleneck(nn.Module):
 
 class ResNet50Trunk(nn.Module):
     """conv1..layer4 of ResNet-50 ([3,4,6,3] bottlenecks), returning the
-    skip pyramid the reference taps (superpoint.py:131-154):
-    half (64), quarter (256), eighth (512), sixteenth (1024),
-    features (2048 at 1/32)."""
+    skip pyramid the reference taps (superpoint.py:131-154). width=64 is
+    the torchvision image trunk (stage outputs 256/512/1024/2048);
+    width=16 is the narrow 1-channel sparse-depth trunk of the densifier
+    (resnet_s2d.py:115-138: c1..c5 = 16,16,32,64,128 -> stage outputs
+    64/128/256/512)."""
 
     in_features: int = 3
     width: int = 64
@@ -85,13 +118,13 @@ class ResNet50Trunk(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         w = self.width
-        x = nn.Conv(w, (7, 7), strides=(2, 2), padding="SAME",
+        x = nn.Conv(w, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          name="bn1")(x)
         x = nn.relu(x)
         skip_half = x
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for i, (blocks, feats, stride) in enumerate(
                 [(3, w, 1), (4, 2 * w, 2), (6, 4 * w, 2), (3, 8 * w, 2)]):
             for b in range(blocks):
@@ -112,10 +145,10 @@ class ResNet50Trunk(nn.Module):
 # ------------------------------------------------------------- SuperPoint
 class SuperPoint(nn.Module):
     """Detector + descriptor heads over the ResNet-50 trunk
-    (reference superpoint.py:98-190). Returns (scores (B,H8*8,W8*8),
-    descriptors (B,H/8,W/8,256), skips dict)."""
+    (reference superpoint.py:98-190, descriptor_dim=128). Returns
+    (scores (B,H8*8,W8*8), descriptors (B,H/8,W/8,128), skips dict)."""
 
-    descriptor_dim: int = 256
+    descriptor_dim: int = 128
 
     @nn.compact
     def __call__(self, image, train: bool = False):
@@ -127,9 +160,11 @@ class SuperPoint(nn.Module):
             use_running_average=not train, momentum=0.9, name=name)
 
         # Detector head: convPa/bnPa at 1/32, upsample to 1/8, convPb/convPc
-        cPa = nn.relu(bn("bnPa")(nn.Conv(256, (3, 3), padding="SAME", name="convPa")(x)))
+        cPa = nn.relu(bn("bnPa")(nn.Conv(
+            256, (3, 3), padding=[(1, 1), (1, 1)], name="convPa")(x)))
         cPa = resize_bilinear_align_corners(cPa, h8, w8, align_corners=False)
-        cPa = nn.relu(bn("bnPb")(nn.Conv(128, (3, 3), padding="SAME", name="convPb")(cPa)))
+        cPa = nn.relu(bn("bnPb")(nn.Conv(
+            128, (3, 3), padding=[(1, 1), (1, 1)], name="convPb")(cPa)))
         logits = nn.Conv(65, (1, 1), name="convPc")(cPa)
 
         probs = jax.nn.softmax(logits, axis=-1)[..., :64]  # drop dustbin
@@ -138,11 +173,13 @@ class SuperPoint(nn.Module):
 
         # Descriptor head: convDa at 1/32 -> 1/8, concat skip_eighth, then
         # convDb/convDc, concat downsampled quarter+half skips, convDd
-        cDa = nn.relu(bn("bnDa")(nn.Conv(128, (3, 3), padding="SAME", name="convDa")(x)))
+        cDa = nn.relu(bn("bnDa")(nn.Conv(
+            128, (3, 3), padding=[(1, 1), (1, 1)], name="convDa")(x)))
         cDa = resize_bilinear_align_corners(cDa, h8, w8, align_corners=False)
         cDa = jnp.concatenate([cDa, skips["eighth"]], axis=-1)
         cDa = nn.relu(bn("bnDb")(nn.Conv(256, (1, 1), name="convDb")(cDa)))
-        cDa = nn.relu(bn("bnDc")(nn.Conv(256, (3, 3), padding="SAME", name="convDc")(cDa)))
+        cDa = nn.relu(bn("bnDc")(nn.Conv(
+            256, (3, 3), padding=[(1, 1), (1, 1)], name="convDc")(cDa)))
         skip4 = resize_bilinear_align_corners(skips["quarter"], h8, w8, align_corners=False)
         skip2 = resize_bilinear_align_corners(skips["half"], h8, w8, align_corners=False)
         cDa = jnp.concatenate([cDa, skip4, skip2], axis=-1)
@@ -311,7 +348,11 @@ def triangulate_dlt(proj_matrices, points, confidences):
 class TriangulationNet(nn.Module):
     """Rotated-ROI epipolar matching + DLT (reference TriangulationNet,
     triangulation.py:382-560; config dist_ortogonal=1, kernel_size=1,
-    out_length=100, has_confidence=True)."""
+    out_length=100, has_confidence=True). The only parameters are the
+    match-map BatchNorm's — the reference's convD_confa/bnconvD_confa
+    layers are declared (triangulation.py:410-412) but its inference
+    forward never applies them: confidence is the sigmoid of the match
+    map's global max (triangulation.py:485-497)."""
 
     out_length: int = OUT_LENGTH
     distance: int = DIST_ORTHO
@@ -333,9 +374,6 @@ class TriangulationNet(nn.Module):
 
         bn_match = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                 name="bn_match")
-        conf_conv = nn.Conv(1, (3, 3), padding="SAME", name="convD_confa")
-        conf_bn = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                               name="bnconvD_confa")
 
         matched, confs, widths = [], [], []
         for v in range(V):
@@ -350,10 +388,10 @@ class TriangulationNet(nn.Module):
             match = jnp.einsum("bkc,bkrsc->bkrs", ref_desc_at_kp, cand)
             match = nn.relu(bn_match(match.reshape(B * Kn, R, S, 1)))
 
-            # learned confidence: 3x3 conv + BN + global max-pool + sigmoid,
-            # gated by a non-degenerate segment (w > 0) (+0.001 like the ref)
-            c = conf_bn(conf_conv(match))
-            c = jnp.max(c.reshape(B, Kn, -1), axis=-1)
+            # confidence: sigmoid(global max of the match map), gated by a
+            # non-degenerate segment (w > 0) (+0.001 like the reference,
+            # triangulation.py:485-497)
+            c = jnp.max(match.reshape(B, Kn, -1), axis=-1)
             c = jax.nn.sigmoid(c) * ((w > 0).astype(c.dtype) + 0.001)
             if view_mask is not None:
                 c = c * view_mask[:, v][:, None]
@@ -390,48 +428,117 @@ class TriangulationNet(nn.Module):
 
 
 # ------------------------------------------------------------ densification
-class GudiUpProj(nn.Module):
-    """Gudi up-projection block (reference densedepth.py:34-120): nearest x2
-    upsample (optionally concat skip), 5x5+3x3 conv branch with a 5x5
-    shortcut, BN everywhere."""
+class GudiUpProjCat(nn.Module):
+    """Gudi up-projection block with skip concatenation (reference
+    Gudi_UpProj_Block_Cat, densedepth.py:86-146): zero-stuffed 2x unpool
+    (plain nearest resize when the skip size is not a multiple of the
+    input size), 5x5 conv, CONCAT the skip, 3x3 + 3x3 convs, 5x5 shortcut
+    from the upsampled input, BN everywhere."""
 
     features: int
 
     @nn.compact
-    def __call__(self, x, out_h, out_w, skip=None, train: bool = False):
+    def __call__(self, x, skip, train: bool = False):
         bn = lambda name: nn.BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, name=name)
-        B, H, W, C = x.shape
-        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)[:, :out_h, :out_w]
-        if skip is not None:
-            x = jnp.concatenate([x, skip], axis=-1)
+        out_h, out_w = skip.shape[1], skip.shape[2]
+        if out_h % x.shape[1] == 0:
+            x = _unpool_zero(x, out_h, out_w)
+        else:
+            x = _nearest_resize_torch(x, out_h, out_w)
         y = nn.relu(bn("bn1")(nn.Conv(
-            self.features, (5, 5), padding="SAME", use_bias=False, name="conv1")(x)))
+            self.features, (5, 5), padding=[(2, 2), (2, 2)],
+            use_bias=False, name="conv1")(x)))
+        y = jnp.concatenate([y, skip], axis=-1)
+        y = nn.relu(bn("bn1_1")(nn.Conv(
+            self.features, (3, 3), padding=[(1, 1), (1, 1)],
+            use_bias=False, name="conv1_1")(y)))
         y = bn("bn2")(nn.Conv(
-            self.features, (3, 3), padding="SAME", use_bias=False, name="conv2")(y))
+            self.features, (3, 3), padding=[(1, 1), (1, 1)],
+            use_bias=False, name="conv2")(y))
         short = bn("sc_bn1")(nn.Conv(
-            self.features, (5, 5), padding="SAME", use_bias=False, name="sc_conv1")(x))
+            self.features, (5, 5), padding=[(2, 2), (2, 2)],
+            use_bias=False, name="sc_conv1")(x))
         return nn.relu(y + short)
 
 
+class GudiUpProjSimple(nn.Module):
+    """Skip-less Gudi up-projection (reference Gudi_UpProj_Block,
+    densedepth.py:34-83; its masked nearest upsample equals the
+    zero-stuffed unpool)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, out_h, out_w, train: bool = False):
+        bn = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, name=name)
+        x = _unpool_zero(x, out_h, out_w)
+        y = nn.relu(bn("bn1")(nn.Conv(
+            self.features, (5, 5), padding=[(2, 2), (2, 2)],
+            use_bias=False, name="conv1")(x)))
+        y = bn("bn2")(nn.Conv(
+            self.features, (3, 3), padding=[(1, 1), (1, 1)],
+            use_bias=False, name="conv2")(y))
+        short = bn("sc_bn1")(nn.Conv(
+            self.features, (5, 5), padding=[(2, 2), (2, 2)],
+            use_bias=False, name="sc_conv1")(x))
+        return nn.relu(y + short)
+
+
+class DilatedConv3x3(nn.Module):
+    """1x1 reduce + dilated 3x3, BN+ReLU after each (reference
+    dilated_conv3x3, densedepth.py:147-164)."""
+
+    features: int
+    rate: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, name=name)
+        x = nn.relu(bn("bn1")(nn.Conv(
+            self.features, (1, 1), use_bias=False, name="conv1")(x)))
+        x = nn.relu(bn("bn2")(nn.Conv(
+            self.features, (3, 3), padding=[(self.rate, self.rate)] * 2,
+            kernel_dilation=(self.rate, self.rate),
+            use_bias=False, name="conv2")(x)))
+        return x
+
+
 class ASPP(nn.Module):
+    """Dense-cascade atrous pyramid (reference ASPP, densedepth.py:167-203):
+    five dilated_conv3x3 stages (rates 3/6/12/18/24, each fed the running
+    concat, each emitting features//2), final concat of the input + all
+    five -> 3x3 convf + bnf + relu."""
+
     features: int = 256
 
     @nn.compact
-    def __call__(self, x):
-        outs = [nn.relu(nn.Conv(64, (1, 1), name="aspp1")(x))]
-        for d in (6, 12, 18):
-            outs.append(nn.relu(nn.Conv(
-                64, (3, 3), padding=[(d, d)] * 2, kernel_dilation=(d, d),
-                name=f"aspp_d{d}")(x)))
-        x = jnp.concatenate(outs, axis=-1)
-        return nn.relu(nn.Conv(self.features, (1, 1), name="aspp_out")(x))
+    def __call__(self, x, train: bool = False):
+        half = self.features // 2
+        x_inp = x
+        outs = []
+        for i, rate in enumerate((3, 6, 12, 18, 24)):
+            y = DilatedConv3x3(half, rate, name=f"daspp_{i + 1}")(x, train)
+            outs.append(y)
+            x = jnp.concatenate([x, y], axis=-1)
+        x = jnp.concatenate([x_inp] + outs, axis=-1)
+        x = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=False, name="convf")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         name="bnf")(x)
+        return nn.relu(x)
 
 
 class SparseToDenseNet(nn.Module):
-    """ResNet-50 sparse-depth trunk + image-skip concat + Gudi up-projection
-    decoder with ASPP at 1/8 and multiscale heads
-    (reference densedepth.py:205-355)."""
+    """Narrow ResNet-50 sparse-depth trunk + image-skip concat + Gudi
+    up-projection decoder with dense ASPP at 1/8 and multiscale heads
+    (reference densedepth.py:205-355). Concat order matches the reference:
+    sparse trunk first for the skips (densedepth.py:308-320), image
+    features first at the bottleneck (densedepth.py:322-324). conv_final
+    emits RAW depth — the reference applies no output activation
+    (densedepth.py:345-352)."""
 
     min_depth: float = MIN_DEPTH
     max_depth: float = MAX_DEPTH
@@ -441,39 +548,33 @@ class SparseToDenseNet(nn.Module):
                  train: bool = False):
         B, H, W = sparse_depth.shape
         x = sparse_depth[..., None]
-        d = ResNet50Trunk(in_features=1, name="depth_trunk")(x, train)
+        d = ResNet50Trunk(in_features=1, width=16, name="depth_trunk")(x, train)
 
         cat = lambda a, b: jnp.concatenate([a, b], axis=-1)  # noqa: E731
         skip_half = cat(d["half"], image_skips["half"])
         skip_quarter = cat(d["quarter"], image_skips["quarter"])
         skip_eighth = cat(d["eighth"], image_skips["eighth"])
         skip_sixteenth = cat(d["sixteenth"], image_skips["sixteenth"])
-        x = cat(d["features"], image_skips["features"])
+        x = cat(image_skips["features"], d["features"])
 
-        sh = lambda t: (t.shape[1], t.shape[2])  # noqa: E731
-        x = GudiUpProj(512, name="up1")(x, *sh(skip_sixteenth), skip_sixteenth, train)
-        x = GudiUpProj(256, name="up2")(x, *sh(skip_eighth), skip_eighth, train)
-        x = ASPP(256, name="aspp")(x)
+        x = GudiUpProjCat(512, name="gud_up_proj_layer1")(x, skip_sixteenth, train)
+        x = GudiUpProjCat(256, name="gud_up_proj_layer2")(x, skip_eighth, train)
+        x = ASPP(256, name="ASPP")(x, train)
         out8 = nn.Conv(1, (1, 1), name="conv_scale8")(x)[..., 0]
-        x = GudiUpProj(128, name="up3")(x, *sh(skip_quarter), skip_quarter, train)
+        x = GudiUpProjCat(128, name="gud_up_proj_layer3")(x, skip_quarter, train)
         out4 = nn.Conv(1, (1, 1), name="conv_scale4")(x)[..., 0]
-        x = GudiUpProj(64, name="up4")(x, *sh(skip_half), skip_half, train)
+        x = GudiUpProjCat(64, name="gud_up_proj_layer4")(x, skip_half, train)
         out2 = nn.Conv(1, (1, 1), name="conv_scale2")(x)[..., 0]
-        x = GudiUpProj(32, name="up5")(x, H, W, None, train)
-        out = nn.Conv(1, (3, 3), padding="SAME", name="conv_final")(x)[..., 0]
-
-        def to_depth(v):
-            inv = jax.nn.sigmoid(v) * (1.0 / self.min_depth - 1.0 / self.max_depth) \
-                + 1.0 / self.max_depth
-            return 1.0 / inv
-
-        return to_depth(out), [to_depth(out2), to_depth(out4), to_depth(out8)]
+        x = GudiUpProjSimple(32, name="gud_up_proj_layer5")(x, H, W, train)
+        out = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)],
+                      name="conv_final")(x)[..., 0]
+        return out, [out2, out4, out8]
 
 
 # ------------------------------------------------------------------ estimator
 class DeltasModel(nn.Module):
     n_keypoints: int = N_KEYPOINTS
-    nms_radius: int = 4
+    nms_radius: int = 9  # reference run-testing.py:49 / superpoint config
 
     def setup(self):
         self.superpoint = SuperPoint(name="superpoint")
@@ -490,7 +591,7 @@ class DeltasModel(nn.Module):
         scores, ref_desc, image_skips = self.superpoint(ref_image, train)
         scores = simple_nms(scores, self.nms_radius)
         kp, kp_scores = top_k_keypoints(scores, Kn, border=4)
-        ref_d = sample_descriptors(kp, ref_desc)  # (B,Kn,256)
+        ref_d = sample_descriptors(kp, ref_desc)  # (B,Kn,128)
 
         meas_descs = []
         for v in range(V):
@@ -502,14 +603,14 @@ class DeltasModel(nn.Module):
             kp, kp_scores, ref_d, meas_descs, rel_poses, K, H, W,
             view_mask, train)
 
+        # impute the learnt sparse depth (reference densedepth.py:288-305:
+        # clamp to [0, max], keep range-valid keypoints inside (min, max))
         z = jnp.clip(pts3d[..., 2], 0.0, self.densifier.max_depth)  # (B,Kn)
         valid = (range_mask
                  & (z > self.densifier.min_depth)
-                 & (z < self.densifier.max_depth)
-                 & (kp_scores > 0))
+                 & (z < self.densifier.max_depth))
         z = z * valid
 
-        # impute the learnt sparse depth (reference densedepth.py:288-305)
         lin = (kp[..., 1].astype(jnp.int32) * W + kp[..., 0].astype(jnp.int32))
         lin = jnp.where(valid, lin, H * W)
 
@@ -528,10 +629,12 @@ class Deltas(DepthEstimator):
     image_width = 320
     image_height = 240
     scale_rgb = 255.0
-    # the reference normalizes with ImageNet stats inside the model
-    # (superpoint.py:91-92,127); here it happens in preprocessing
-    mean_rgb = (0.485, 0.456, 0.406)
-    std_rgb = (0.229, 0.224, 0.225)
+    # the reference stacks two normalizations: (x/255 - 0.5)/0.5 in
+    # preprocessing (run-testing.py:197-199) then ImageNet stats inside the
+    # model (superpoint.py:91-92,127); folded into one affine here:
+    # mean' = 0.5 + 0.5*m, std' = 0.5*s
+    mean_rgb = tuple(0.5 + 0.5 * m for m in (0.485, 0.456, 0.406))
+    std_rgb = tuple(0.5 * s for s in (0.229, 0.224, 0.225))
 
     def __init__(self, n_measurement_frames: int = 2, variables=None, seed: int = 0):
         self.V = n_measurement_frames
@@ -564,4 +667,7 @@ class Deltas(DepthEstimator):
             jnp.asarray(K.astype(np.float32))[None],
             jnp.asarray(mask),
         )
-        return np.asarray(out[0])
+        # the reference feeds the raw network output straight to the error
+        # metrics; downstream consumers here (TSDF, inverse-depth metrics)
+        # need strictly positive depth, so clamp to the model's range
+        return np.clip(np.asarray(out[0]), MIN_DEPTH, MAX_DEPTH)

@@ -166,8 +166,98 @@ def convert_dpsnet(sd) -> Dict:
     return {"params": params, "batch_stats": stats}
 
 
+# ------------------------------------------------------------------ DELTAS
+def _strip_module(sd) -> Dict:
+    """Drop a DataParallel 'module.' prefix if present
+    (deltas/run-testing.py:110-113 wraps AFTER load, but be tolerant)."""
+    return {k[7:] if k.startswith("module.") else k: v for k, v in sd.items()}
+
+
+def _resnet50_trunk(params, stats, sd, path):
+    """torchvision-layout ResNet-50 trunk (superpoint.py:79-87 /
+    resnet_s2d.py:127-138): conv1/bn1 + layer{1-4}.{b}.conv{1-3}/bn{1-3}
+    (+ downsample.{0,1}) -> our conv1/bn1 + layer{L}_{b}.c{1-3}/bn{1-3}
+    (+ proj/bn_proj)."""
+    _cv(params, sd, "conv1", path + ("conv1",))
+    _bn(params, stats, sd, "bn1", path + ("bn1",))
+    for layer, blocks in ((1, 3), (2, 4), (3, 6), (4, 3)):
+        for b in range(blocks):
+            tb = f"layer{layer}.{b}"
+            pb = path + (f"layer{layer}_{b}",)
+            for ci in (1, 2, 3):
+                _cv(params, sd, f"{tb}.conv{ci}", pb + (f"c{ci}",))
+                _bn(params, stats, sd, f"{tb}.bn{ci}", pb + (f"bn{ci}",))
+            if f"{tb}.downsample.0.weight" in sd:
+                _cv(params, sd, f"{tb}.downsample.0", pb + ("proj",))
+                _bn(params, stats, sd, f"{tb}.downsample.1", pb + ("bn_proj",))
+
+
+def _gudi_block(params, stats, sd, tp, path, has_cat: bool):
+    """Gudi_UpProj_Block[_Cat] (densedepth.py:34-146). The Unpool kernel is
+    a plain tensor attribute, not a Parameter — absent from the state dict."""
+    names = ["conv1", "bn1", "conv2", "bn2", "sc_conv1", "sc_bn1"]
+    if has_cat:
+        names[2:2] = ["conv1_1", "bn1_1"]
+    for n in names:
+        if n.startswith("conv") or n.startswith("sc_conv"):
+            _cv(params, sd, f"{tp}.{n}", path + (n,))
+        else:
+            _bn(params, stats, sd, f"{tp}.{n}", path + (n,))
+
+
+def convert_deltas(weights) -> Dict:
+    """The released DELTAS checkpoint is ONE file holding three state
+    dicts — state_dict (Superpoint), state_dict_tri (TriangulationNet),
+    state_dict_depth (SparsetoDenseNet) — each loaded strict=True
+    (deltas/run-testing.py:103-109). Maps all three onto the DeltasModel
+    tree. The reference's convD_confa/bnconvD_confa parameters are
+    intentionally dropped: they are declared (triangulation.py:410-412)
+    but its inference forward never applies them (:485-497)."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    sp = _strip_module(weights["state_dict"])
+    sp_path = ("superpoint",)
+    _resnet50_trunk(params, stats, sp, sp_path + ("trunk",))
+    for conv, bn in (("convPa", "bnPa"), ("convPb", "bnPb"),
+                     ("convDa", "bnDa"), ("convDb", "bnDb"),
+                     ("convDc", "bnDc")):
+        _cv(params, sp, conv, sp_path + (conv,), bias=True)
+        _bn(params, stats, sp, bn, sp_path + (bn,))
+    _cv(params, sp, "convPc", sp_path + ("convPc",), bias=True)
+    _cv(params, sp, "convDd", sp_path + ("convDd",), bias=True)
+
+    tri = _strip_module(weights["state_dict_tri"])
+    _bn(params, stats, tri, "bn_match_convD", ("triangulation", "bn_match"))
+
+    dd = _strip_module(weights["state_dict_depth"])
+    dd_path = ("sparse_to_dense",)
+    _resnet50_trunk(params, stats, dd, dd_path + ("depth_trunk",))
+    for i in range(1, 5):
+        _gudi_block(params, stats, dd, f"gud_up_proj_layer{i}",
+                    dd_path + (f"gud_up_proj_layer{i}",), has_cat=True)
+    _gudi_block(params, stats, dd, "gud_up_proj_layer5",
+                dd_path + ("gud_up_proj_layer5",), has_cat=False)
+    aspp = dd_path + ("ASPP",)
+    for i in range(1, 6):
+        for n in ("conv1", "bn1", "conv2", "bn2"):
+            tp = f"ASPP.daspp_{i}.{n}"
+            pp = aspp + (f"daspp_{i}", n)
+            if n.startswith("conv"):
+                _cv(params, dd, tp, pp)
+            else:
+                _bn(params, stats, dd, tp, pp)
+    _cv(params, dd, "ASPP.convf", aspp + ("convf",))
+    _bn(params, stats, dd, "ASPP.bnf", aspp + ("bnf",))
+    for head in ("conv_scale8", "conv_scale4", "conv_scale2", "conv_final"):
+        _cv(params, dd, head, dd_path + (head,), bias=True)
+
+    return {"params": params, "batch_stats": stats}
+
+
 BASELINE_CONVERTERS = {
     "mvdepthnet": convert_mvdepthnet,
     "gpmvs": convert_gpmvs,
     "dpsnet": convert_dpsnet,
+    "deltas": convert_deltas,
 }

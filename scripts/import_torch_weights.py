@@ -38,6 +38,7 @@ def import_baseline(args):
     msgpack loadable by apps/run_testing_baseline.py --checkpoint.
     Mappings oracle-tested in tests/test_baseline_convert.py."""
     from dvmvs_tpu.utils.baseline_convert import (
+        convert_deltas,
         convert_dpsnet,
         convert_gplayer,
         convert_gpmvs,
@@ -84,9 +85,19 @@ def import_baseline(args):
         files = sorted(os.listdir(args.weights_dir))
         variables = convert_dpsnet(load_torch_state_dict(
             os.path.join(args.weights_dir, files[0])))
+    elif name == "deltas":
+        # one file with three state dicts (deltas/run-testing.py:103-109)
+        import torch
+        files = [f for f in sorted(os.listdir(args.weights_dir))
+                 if not f.startswith(".")]
+        raw = torch.load(os.path.join(args.weights_dir, files[0]),
+                         map_location="cpu")
+        variables = convert_deltas({
+            k: {n: v.detach().numpy() for n, v in sd.items()}
+            for k, sd in raw.items()
+            if k in ("state_dict", "state_dict_tri", "state_dict_depth")})
     else:
-        raise SystemExit(f"no converter for baseline '{name}' "
-                         "(deltas import is not supported yet)")
+        raise SystemExit(f"no converter for baseline '{name}'")
     save_checkpoint(args.output, variables)
     print(f"wrote {args.output} (baseline {name})")
 
@@ -97,7 +108,7 @@ def main():
                     help="folder with the reference's sorted per-module files")
     ap.add_argument("--model", choices=["pairnet", "fusionnet"], default="fusionnet")
     ap.add_argument("--baseline", default=None,
-                    choices=["mvdepthnet", "gpmvs", "dpsnet"],
+                    choices=["mvdepthnet", "gpmvs", "dpsnet", "deltas"],
                     help="convert a baseline's released weights instead of "
                          "the main network's")
     ap.add_argument("--output", required=True, help="output .msgpack checkpoint")
