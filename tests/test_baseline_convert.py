@@ -818,3 +818,34 @@ def test_deltas_bn_match_conversion(rng):
         want = tb(torch.tensor(x.transpose(0, 3, 1, 2)))
     np.testing.assert_allclose(
         np.asarray(got), want.numpy().transpose(0, 2, 3, 1), atol=1e-6)
+
+
+def test_deltas_converted_checkpoint_drives_estimator(rng, tmp_path):
+    """Full user path: one-file checkpoint -> convert_deltas -> msgpack ->
+    load_checkpoint -> Deltas estimator predict. The variable tree is
+    size-independent (conv params), so a small input exercises the same
+    parameters the 320x240 driver would load."""
+    from dvmvs_tpu.baselines.deltas import Deltas
+    from dvmvs_tpu.utils.baseline_convert import convert_deltas
+    from dvmvs_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    _, _, weights = _deltas_weights(rng)
+    conv = convert_deltas(weights)
+    path = str(tmp_path / "deltas.msgpack")
+    save_checkpoint(path, conv)
+    variables = load_checkpoint(path, None)
+
+    class SmallDeltas(Deltas):
+        image_width = 64
+        image_height = 48
+
+    est = SmallDeltas(n_measurement_frames=1, variables=variables)
+    H, W = 48, 64
+    ref = rng.randn(H, W, 3).astype(np.float32) * 0.3
+    meas = [rng.randn(H, W, 3).astype(np.float32) * 0.3]
+    K = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]], np.float32)
+    pose2 = np.eye(4, dtype=np.float32)
+    pose2[0, 3] = 0.1
+    depth = est.predict(ref, meas, np.eye(4, dtype=np.float32), [pose2], K)
+    assert depth.shape == (H, W)
+    assert np.isfinite(depth).all() and (depth > 0).all()
