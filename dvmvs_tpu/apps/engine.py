@@ -181,6 +181,24 @@ class InferenceEngine:
         self.has_prev = jnp.ones((), jnp.float32)
         return np.asarray(depths[0][0])
 
+    def predict_batch(self, ref_images, ref_feats, meas_half, ref_poses,
+                      meas_poses, K, view_mask) -> jnp.ndarray:
+        """Batched stateless prediction (pairnet only) for bulk offline
+        throughput eval: B independent keyframes per dispatch, sharded over
+        the mesh by the caller's input placement (GSPMD propagates it).
+        The reference evaluates strictly one keyframe per forward
+        (pairnet/run-testing.py:95-160); statelessness makes the batch
+        axis free parallelism on TPU.
+
+        ref_images (B,H,W,3); ref_feats tuple of (B,...); meas_half
+        (B,V,H/2,W/2,C); ref_poses (B,4,4); meas_poses (B,V,4,4);
+        K (B,3,3); view_mask (B,V). Returns full-res depth (B,H,W)."""
+        assert self.kind == "pairnet", "batched bulk eval is stateless-only"
+        depths = self._predict_pair(
+            self.variables, ref_images, ref_feats, meas_half,
+            ref_poses, meas_poses, K, view_mask)
+        return depths[0]
+
     def encode_and_predict(
         self,
         ref_image: np.ndarray,

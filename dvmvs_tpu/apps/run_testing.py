@@ -121,6 +121,133 @@ def evaluate_scene(
     return predictions, reference_depths
 
 
+def evaluate_scene_batched(
+    engine: InferenceEngine,
+    scene_folder: str,
+    index_file: str,
+    cfg: TestConfig,
+    batch_size: int,
+    mesh=None,
+    evaluate: bool = True,
+    max_frames: Optional[int] = None,
+):
+    """Throughput mode (pairnet only): pack B independent keyframes per
+    dispatch, optionally sharded over a device mesh — multi-chip bulk
+    evaluation with one compiled program. Unique scene images are encoded
+    exactly once into a device-resident feature bank; keyframe batches
+    gather from it with ``jnp.take``. The reference evaluates one keyframe
+    per forward on one GPU (pairnet/run-testing.py:95-160)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    assert engine.kind == "pairnet", "batched eval needs a stateless model"
+    V = cfg.n_measurement_frames
+
+    with open(index_file) as f:
+        lines = [l for l in f.read().splitlines() if l]
+    entries = [l.split(" ") for l in lines if l != "TRACKING LOST"]
+    if max_frames is not None:
+        entries = entries[:max_frames]
+    if not entries:
+        return [], ([] if evaluate else None)
+
+    K = np.loadtxt(os.path.join(scene_folder, "K.txt")).astype(np.float32)
+    poses = np.fromfile(os.path.join(scene_folder, "poses.txt"),
+                        dtype=float, sep="\n ").reshape(-1, 4, 4)
+    images_dir = os.path.join(scene_folder, "images")
+    image_filenames = sorted(
+        f for f in os.listdir(images_dir) if f.endswith(".png"))
+    frame_index = {f: i for i, f in enumerate(image_filenames)}
+    depth_dir = os.path.join(scene_folder, "depth")
+    depth_filenames = (
+        sorted(f for f in os.listdir(depth_dir) if f.endswith(".png"))
+        if evaluate and os.path.isdir(depth_dir) else None)
+
+    # ---- host: preprocess every unique image once
+    unique = list(dict.fromkeys(n for e in entries for n in e))
+    first = load_image(os.path.join(images_dir, unique[0]))
+    preprocessor = PreprocessImage(
+        K=K, old_width=first.shape[1], old_height=first.shape[0],
+        new_width=cfg.image_width, new_height=cfg.image_height,
+        distortion_crop=cfg.distortion_crop, perform_crop=cfg.perform_crop)
+    updated_K = preprocessor.get_updated_intrinsics().astype(np.float32)
+    pre = {n: preprocessor.apply_rgb(
+        load_image(os.path.join(images_dir, n)), SCALE_RGB, MEAN_RGB, STD_RGB)
+        .astype(np.float32) for n in unique}
+
+    sharding = None
+    if mesh is not None:
+        from dvmvs_tpu.parallel.mesh import batch_sharding, replicated_sharding
+        sharding = batch_sharding(mesh)
+        engine.variables = jax.device_put(
+            engine.variables, replicated_sharding(mesh))
+
+    def put(x):
+        x = jnp.asarray(x)
+        return jax.device_put(x, sharding) if sharding is not None else x
+
+    def pad_to(arr_list, n):
+        return arr_list + [arr_list[-1]] * (n - len(arr_list))
+
+    # ---- device: encode the unique images in batches into a feature bank
+    t0 = time.perf_counter()
+    bank_chunks = []
+    for s in range(0, len(unique), batch_size):
+        chunk = pad_to(unique[s:s + batch_size], batch_size)
+        imgs = put(np.stack([pre[n] for n in chunk]))
+        bank_chunks.append(engine._extract(engine.variables, imgs))
+    n_scales = len(bank_chunks[0])
+    bank = tuple(
+        jnp.concatenate([c[i] for c in bank_chunks], axis=0)[:len(unique)]
+        for i in range(n_scales))
+    bank_index = {n: i for i, n in enumerate(unique)}
+
+    # ---- device: batched predictions
+    predictions = []
+    reference_depths = [] if depth_filenames is not None else None
+    for s in range(0, len(entries), batch_size):
+        batch = entries[s:s + batch_size]
+        n_real = len(batch)
+        batch = pad_to(batch, batch_size)
+
+        ref_idx = np.array([bank_index[e[0]] for e in batch])
+        ref_feats = tuple(jnp.take(b, put(ref_idx), axis=0) for b in bank)
+        ref_images = put(np.stack([pre[e[0]] for e in batch]))
+        ref_poses = put(np.stack(
+            [poses[frame_index[e[0]]] for e in batch]).astype(np.float32))
+
+        meas_idx, mposes, mask = [], [], np.zeros(
+            (batch_size, V), np.float32)
+        for bi, e in enumerate(batch):
+            names = e[1:][:V]
+            mask[bi, :len(names)] = 1.0
+            names = pad_to(list(names), V)
+            meas_idx.append([bank_index[n] for n in names])
+            mposes.append([poses[frame_index[n]] for n in names])
+        meas_half = jnp.take(bank[0], put(np.array(meas_idx)), axis=0)
+        mposes = put(np.asarray(mposes, np.float32))
+
+        depth = engine.predict_batch(
+            ref_images, ref_feats, meas_half, ref_poses, mposes,
+            put(np.tile(updated_K[None], (batch_size, 1, 1))), put(mask))
+        depth = np.asarray(depth)[:n_real]
+        predictions.extend(list(depth))
+
+        if reference_depths is not None:
+            for e in batch[:n_real]:
+                d = load_depth_png(os.path.join(
+                    depth_dir, depth_filenames[frame_index[e[0]]]))
+                reference_depths.append(preprocessor.apply_depth(d))
+
+    dt = time.perf_counter() - t0
+    print(f"batched eval: {len(entries)} keyframes in {dt:.2f}s "
+          f"({len(entries) / dt:.1f} images/s, batch {batch_size}"
+          f"{', mesh ' + str(mesh.shape) if mesh is not None else ''})")
+    return predictions, reference_depths
+
+
 def main():
     from dvmvs_tpu.utils.jax_setup import setup_jax
 
@@ -134,12 +261,29 @@ def main():
     ap.add_argument("--n-measurement-frames", type=int, default=2)
     ap.add_argument("--no-evaluate", action="store_true")
     ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--batch-size", type=int, default=None,
+                    help="pairnet throughput mode: B independent keyframes "
+                         "per dispatch (stateless, so the batch axis is "
+                         "free TPU parallelism)")
+    ap.add_argument("--n-devices", type=int, default=None,
+                    help="with --batch-size: shard the batch over this many "
+                         "devices (multi-chip bulk eval)")
     ap.add_argument("--visualize", action="store_true",
                     help="live cv2 windows (or PNG panels when headless)")
     args = ap.parse_args()
 
     cfg = TestConfig(n_measurement_frames=args.n_measurement_frames,
                      visualize=args.visualize)
+    mesh = None
+    if args.batch_size is not None:
+        if args.model != "pairnet":
+            raise SystemExit("--batch-size requires --model pairnet "
+                             "(fusionnet is recurrent within a scene)")
+        if args.n_devices is not None and args.n_devices > 1:
+            from dvmvs_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(args.n_devices)
+            if args.batch_size % args.n_devices:
+                raise SystemExit("--batch-size must divide by --n-devices")
 
     engine = InferenceEngine(args.model, cfg)
     if args.checkpoint:
@@ -159,9 +303,15 @@ def main():
         keyframing_type, dataset_name, scene_name, _, nmeas = os.path.basename(index_file).split("+")
         scene_folder = os.path.join(args.data, dataset_name, scene_name)
         print(f"Predicting for scene {dataset_name}-{scene_name} - {i}/{len(index_files)}")
-        predictions, gts = evaluate_scene(
-            engine, scene_folder, index_file, cfg,
-            evaluate=not args.no_evaluate, max_frames=args.max_frames)
+        if args.batch_size is not None:
+            predictions, gts = evaluate_scene_batched(
+                engine, scene_folder, index_file, cfg, args.batch_size,
+                mesh=mesh, evaluate=not args.no_evaluate,
+                max_frames=args.max_frames)
+        else:
+            predictions, gts = evaluate_scene(
+                engine, scene_folder, index_file, cfg,
+                evaluate=not args.no_evaluate, max_frames=args.max_frames)
         system_name = (
             f"{keyframing_type}_{dataset_name}_{cfg.image_width}_{cfg.image_height}"
             f"_{args.n_measurement_frames}_dvmvs_tpu_{args.model}"

@@ -209,3 +209,49 @@ def test_live_tsdf_auto_bounds(png_scene, tiny_cfg):
     assert (ext >= 2 * 2.0).all()
     # first keyframe camera sits near the origin of the +x walk
     assert abs(live.volume.vol_bnds[0, 0] - (-3.0)) < 1.5
+
+
+@pytest.mark.heavy
+def test_evaluate_scene_batched_matches_sequential(png_scene, tiny_cfg):
+    """Throughput mode: B independent pairnet keyframes per dispatch must
+    reproduce the sequential driver's predictions, with a partial final
+    batch and (second pass) the batch sharded over the 8-device CPU mesh —
+    multi-chip bulk eval (the reference runs one keyframe per forward on
+    one GPU, pairnet/run-testing.py:95-160)."""
+    from dvmvs_tpu.apps.engine import InferenceEngine
+    from dvmvs_tpu.apps.run_testing import (
+        evaluate_scene,
+        evaluate_scene_batched,
+    )
+    from dvmvs_tpu.parallel.mesh import make_mesh
+
+    scene = os.path.join(png_scene, "tinyset", "000")
+    indices_dir = os.path.join(png_scene, "indices_batched")
+    os.makedirs(indices_dir, exist_ok=True)
+    index_file = os.path.join(indices_dir, "keyframe+tinyset+000+nmeas+2")
+    with open(index_file, "w") as f:
+        f.write("00002.png 00001.png 00000.png\n")
+        f.write("00004.png 00003.png 00002.png\n")
+        f.write("00006.png 00005.png\n")          # 1 measurement view
+        f.write("TRACKING LOST\n")
+        f.write("00008.png 00007.png 00006.png\n")
+        f.write("00009.png 00008.png 00007.png\n")
+
+    engine = InferenceEngine("pairnet", tiny_cfg)
+    seq, seq_gts = evaluate_scene(engine, scene, index_file, tiny_cfg)
+
+    # batch 4 over 5 keyframes -> one full + one padded partial batch
+    bat, bat_gts = evaluate_scene_batched(
+        engine, scene, index_file, tiny_cfg, batch_size=4)
+    assert len(bat) == len(seq) == 5
+    assert len(bat_gts) == len(seq_gts)
+    for s, b in zip(seq, bat):
+        np.testing.assert_allclose(b, s, atol=1e-4)
+
+    # same thing sharded over the virtual 8-device mesh
+    mesh = make_mesh(8)
+    shard, _ = evaluate_scene_batched(
+        engine, scene, index_file, tiny_cfg, batch_size=8, mesh=mesh,
+        evaluate=False)
+    for s, b in zip(seq, shard):
+        np.testing.assert_allclose(b, s, atol=1e-4)
