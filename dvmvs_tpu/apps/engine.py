@@ -64,6 +64,7 @@ class InferenceEngine:
 
         self._predict_pair = jax.jit(self._predict_pair_impl)
         self._predict_fusion = jax.jit(self._predict_fusion_impl)
+        self._fusion_step_batch = jax.jit(self._fusion_step_batch_impl)
         self._encode_predict = jax.jit(self._encode_predict_impl)
         self.reset()
 
@@ -110,6 +111,52 @@ class InferenceEngine:
             K, carry, prev_pose, hyp, view_mask, method="predict_depth",
         )
         return depths, carry, depths[0]
+
+    def _fusion_step_batch_impl(self, variables, ref_image, ref_feats,
+                                meas_half, ref_pose, meas_poses, K,
+                                view_mask, carry, prev_pose, prev_depth,
+                                has_prev, keep):
+        """One lockstep fusionnet step over B INDEPENDENT scenes
+        (scene-parallel bulk eval): per-scene recurrent state with a
+        per-scene ``keep`` mask (0 = tracking lost / scene start resets the
+        carry, matching the sequential driver's engine.reset())."""
+        H, W = self.H, self.W
+        k4 = keep.reshape(-1, 1, 1, 1)
+        carry = LSTMCarry(carry.h * k4, carry.c * k4)
+        prev_depth = prev_depth * keep.reshape(-1, 1, 1)
+        has_prev = has_prev * keep
+        half_K = scale_intrinsics(K, 0.5)
+        splat = splat_depth_max_strided(
+            prev_depth, prev_pose, ref_pose, K, half_K, H // 32, W // 32, 16)
+        hyp = splat * has_prev.reshape(-1, 1, 1)
+        depths, carry = self.model.apply(
+            variables, ref_image, ref_feats, meas_half, ref_pose, meas_poses,
+            K, carry, prev_pose, hyp, view_mask, method="predict_depth",
+        )
+        return depths[0], carry, depths[0]
+
+    def fusion_step_batch(self, ref_images, ref_feats, meas_half, ref_poses,
+                          meas_poses, K, view_mask, state, keep):
+        """Functional batched fusionnet step for scene-parallel bulk eval.
+        ``state`` = (carry, prev_pose (B,4,4), prev_depth (B,H,W),
+        has_prev (B,)); ``keep`` (B,) zeroes a scene's recurrent state
+        before the step. Returns (full-res depth (B,H,W), new state)."""
+        assert self.kind == "fusionnet"
+        carry, prev_pose, prev_depth, has_prev = state
+        depth, carry, full = self._fusion_step_batch(
+            self.variables, ref_images, ref_feats, meas_half, ref_poses,
+            meas_poses, K, view_mask, carry, prev_pose, prev_depth,
+            has_prev, keep)
+        new_state = (carry, ref_poses, full,
+                     jnp.ones_like(has_prev))
+        return depth, new_state
+
+    def init_batch_state(self, batch: int):
+        """Zero recurrent state for ``batch`` independent scenes."""
+        return (init_lstm_carry(batch, self.H, self.W),
+                jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (batch, 1, 1)),
+                jnp.zeros((batch, self.H, self.W), jnp.float32),
+                jnp.zeros((batch,), jnp.float32))
 
     def _encode_predict_impl(self, variables, ref_image, meas_half,
                              ref_pose, meas_poses, K, view_mask,

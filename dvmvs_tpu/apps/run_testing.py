@@ -248,6 +248,158 @@ def evaluate_scene_batched(
     return predictions, reference_depths
 
 
+def evaluate_scenes_batched_fusion(
+    engine: InferenceEngine,
+    jobs,
+    cfg: TestConfig,
+    mesh=None,
+    evaluate: bool = True,
+    max_frames: Optional[int] = None,
+):
+    """Scene-parallel fusionnet bulk eval: B INDEPENDENT scenes advance in
+    lockstep, one batched recurrent step per dispatch, optionally sharded
+    over a device mesh. The recurrence is per-scene state, so scenes are
+    the natural parallel axis for the flagship model (the reference runs
+    one scene at a time on one GPU, fusionnet/run-testing.py:62-234).
+    ``TRACKING LOST`` becomes a per-scene keep-mask zeroing that scene's
+    carry before its next step — identical semantics to the sequential
+    driver's engine.reset(). ``jobs``: list of (scene_folder, index_file).
+    Returns a list of (predictions, gts) aligned with jobs."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    assert engine.kind == "fusionnet"
+    B = len(jobs)
+    V = cfg.n_measurement_frames
+
+    scenes = []
+    for scene_folder, index_file in jobs:
+        with open(index_file) as f:
+            lines = [l for l in f.read().splitlines() if l]
+        steps = []
+        pending_reset = False
+        for l in lines:
+            if l == "TRACKING LOST":
+                pending_reset = True
+                continue
+            names = l.split(" ")
+            steps.append((pending_reset, names[0], names[1:]))
+            pending_reset = False
+        if max_frames is not None:
+            steps = steps[:max_frames]
+        K = np.loadtxt(os.path.join(scene_folder, "K.txt")).astype(np.float32)
+        poses = np.fromfile(os.path.join(scene_folder, "poses.txt"),
+                            dtype=float, sep="\n ").reshape(-1, 4, 4)
+        images_dir = os.path.join(scene_folder, "images")
+        filenames = sorted(
+            f for f in os.listdir(images_dir) if f.endswith(".png"))
+        frame_index = {f: i for i, f in enumerate(filenames)}
+        depth_dir = os.path.join(scene_folder, "depth")
+        depth_filenames = (
+            sorted(f for f in os.listdir(depth_dir) if f.endswith(".png"))
+            if evaluate and os.path.isdir(depth_dir) else None)
+        unique = list(dict.fromkeys(
+            n for (_, r, ms) in steps for n in [r] + list(ms)))
+        first = load_image(os.path.join(images_dir, unique[0]))
+        preprocessor = PreprocessImage(
+            K=K, old_width=first.shape[1], old_height=first.shape[0],
+            new_width=cfg.image_width, new_height=cfg.image_height,
+            distortion_crop=cfg.distortion_crop,
+            perform_crop=cfg.perform_crop)
+        pre = {n: preprocessor.apply_rgb(
+            load_image(os.path.join(images_dir, n)),
+            SCALE_RGB, MEAN_RGB, STD_RGB).astype(np.float32) for n in unique}
+        scenes.append(dict(
+            steps=steps, poses=poses, frame_index=frame_index, pre=pre,
+            K=preprocessor.get_updated_intrinsics().astype(np.float32),
+            depth_dir=depth_dir, depth_filenames=depth_filenames,
+            preprocessor=preprocessor, unique=unique))
+
+    sharding = None
+    if mesh is not None:
+        from dvmvs_tpu.parallel.mesh import batch_sharding, replicated_sharding
+        sharding = batch_sharding(mesh)
+        engine.variables = jax.device_put(
+            engine.variables, replicated_sharding(mesh))
+
+    def put(x):
+        x = jnp.asarray(x)
+        return jax.device_put(x, sharding) if sharding is not None else x
+
+    # global feature bank over (scene, name), encoded in B-sized chunks
+    t0 = time.perf_counter()
+    bank_index = {}
+    flat = [(si, n) for si, s in enumerate(scenes) for n in s["unique"]]
+    for gi, key in enumerate(flat):
+        bank_index[key] = gi
+    chunks = []
+    for s in range(0, len(flat), B):
+        chunk = flat[s:s + B]
+        chunk = chunk + [chunk[-1]] * (B - len(chunk))
+        imgs = put(np.stack([scenes[si]["pre"][n] for si, n in chunk]))
+        chunks.append(engine._extract(engine.variables, imgs))
+    bank = tuple(
+        jnp.concatenate([c[i] for c in chunks], axis=0)[:len(flat)]
+        for i in range(len(chunks[0])))
+
+    state = jax.tree_util.tree_map(put, engine.init_batch_state(B))
+    results = [([], [] if scenes[si]["depth_filenames"] is not None else None)
+               for si in range(B)]
+    max_steps = max(len(s["steps"]) for s in scenes)
+    n_predicted = 0
+
+    for t in range(max_steps):
+        keep = np.ones((B,), np.float32)
+        mask = np.zeros((B, V), np.float32)
+        ref_idx, meas_idx = [], []
+        ref_images, ref_poses, mposes, Ks = [], [], [], []
+        for si, s in enumerate(scenes):
+            reset, ref, ms = s["steps"][min(t, len(s["steps"]) - 1)]
+            if t < len(s["steps"]) and reset:
+                keep[si] = 0.0
+            # padded steps (scene already finished) replay the last entry
+            # with a normal mask — well-formed compute, outputs dropped
+            names = list(ms)[:V]
+            mask[si, :len(names)] = 1.0
+            names = names + [names[0]] * (V - len(names))
+            ref_idx.append(bank_index[(si, ref)])
+            meas_idx.append([bank_index[(si, n)] for n in names])
+            ref_images.append(s["pre"][ref])
+            ref_poses.append(s["poses"][s["frame_index"][ref]])
+            mposes.append([s["poses"][s["frame_index"][n]] for n in names])
+            Ks.append(s["K"])
+
+        ref_feats = tuple(
+            jnp.take(b, put(np.array(ref_idx)), axis=0) for b in bank)
+        meas_half = jnp.take(bank[0], put(np.array(meas_idx)), axis=0)
+        depth, state = engine.fusion_step_batch(
+            put(np.stack(ref_images)), ref_feats, meas_half,
+            put(np.stack(ref_poses).astype(np.float32)),
+            put(np.asarray(mposes, np.float32)), put(np.stack(Ks)),
+            put(mask), state, put(keep))
+        depth = np.asarray(depth)
+
+        for si, s in enumerate(scenes):
+            if t >= len(s["steps"]):
+                continue
+            results[si][0].append(depth[si])
+            n_predicted += 1
+            if results[si][1] is not None:
+                _, ref, _ = s["steps"][t]
+                d = load_depth_png(os.path.join(
+                    s["depth_dir"],
+                    s["depth_filenames"][s["frame_index"][ref]]))
+                results[si][1].append(s["preprocessor"].apply_depth(d))
+
+    dt = time.perf_counter() - t0
+    print(f"scene-batched eval: {n_predicted} keyframes over {B} scenes in "
+          f"{dt:.2f}s ({n_predicted / dt:.1f} images/s"
+          f"{', mesh ' + str(mesh.shape) if mesh is not None else ''})")
+    return results
+
+
 def main():
     from dvmvs_tpu.utils.jax_setup import setup_jax
 
@@ -266,24 +418,41 @@ def main():
                          "per dispatch (stateless, so the batch axis is "
                          "free TPU parallelism)")
     ap.add_argument("--n-devices", type=int, default=None,
-                    help="with --batch-size: shard the batch over this many "
-                         "devices (multi-chip bulk eval)")
+                    help="with --batch-size/--scene-batch: shard the batch "
+                         "over this many devices (multi-chip bulk eval)")
+    ap.add_argument("--scene-batch", type=int, default=None,
+                    help="fusionnet throughput mode: advance this many "
+                         "scenes in lockstep, one batched recurrent step "
+                         "per dispatch (scenes are the parallel axis of "
+                         "the recurrent model)")
+    ap.add_argument("--width", type=int, default=None,
+                    help="test image width (default: config default)")
+    ap.add_argument("--height", type=int, default=None,
+                    help="test image height (default: config default)")
     ap.add_argument("--visualize", action="store_true",
                     help="live cv2 windows (or PNG panels when headless)")
     args = ap.parse_args()
 
+    size_kw = {}
+    if args.width is not None:
+        size_kw["image_width"] = args.width
+    if args.height is not None:
+        size_kw["image_height"] = args.height
     cfg = TestConfig(n_measurement_frames=args.n_measurement_frames,
-                     visualize=args.visualize)
+                     visualize=args.visualize, **size_kw)
     mesh = None
-    if args.batch_size is not None:
-        if args.model != "pairnet":
-            raise SystemExit("--batch-size requires --model pairnet "
-                             "(fusionnet is recurrent within a scene)")
-        if args.n_devices is not None and args.n_devices > 1:
-            from dvmvs_tpu.parallel.mesh import make_mesh
-            mesh = make_mesh(args.n_devices)
-            if args.batch_size % args.n_devices:
-                raise SystemExit("--batch-size must divide by --n-devices")
+    if args.batch_size is not None and args.model != "pairnet":
+        raise SystemExit("--batch-size requires --model pairnet "
+                         "(fusionnet is recurrent within a scene; use "
+                         "--scene-batch)")
+    if args.scene_batch is not None and args.model != "fusionnet":
+        raise SystemExit("--scene-batch applies to --model fusionnet")
+    group = args.batch_size or args.scene_batch
+    if group is not None and args.n_devices is not None and args.n_devices > 1:
+        from dvmvs_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(args.n_devices)
+        if group % args.n_devices:
+            raise SystemExit("batch must divide by --n-devices")
 
     engine = InferenceEngine(args.model, cfg)
     if args.checkpoint:
@@ -299,10 +468,38 @@ def main():
     )
     print(f"{len(index_files)} index files")
 
-    for i, index_file in enumerate(index_files):
-        keyframing_type, dataset_name, scene_name, _, nmeas = os.path.basename(index_file).split("+")
+    def parse_job(index_file):
+        keyframing_type, dataset_name, scene_name, _, _ = \
+            os.path.basename(index_file).split("+")
         scene_folder = os.path.join(args.data, dataset_name, scene_name)
-        print(f"Predicting for scene {dataset_name}-{scene_name} - {i}/{len(index_files)}")
+        system_name = (
+            f"{keyframing_type}_{dataset_name}_{cfg.image_width}"
+            f"_{cfg.image_height}_{args.n_measurement_frames}"
+            f"_dvmvs_tpu_{args.model}"
+        )
+        return scene_folder, scene_name, system_name
+
+    if args.scene_batch is not None:
+        SB = args.scene_batch
+        for s in range(0, len(index_files), SB):
+            group_files = index_files[s:s + SB]
+            n_real = len(group_files)
+            group_files = group_files + [group_files[-1]] * (SB - n_real)
+            jobs = [(parse_job(f)[0], f) for f in group_files]
+            print(f"Predicting scenes {s}..{s + n_real - 1} of "
+                  f"{len(index_files)} (lockstep batch {SB})")
+            results = evaluate_scenes_batched_fusion(
+                engine, jobs, cfg, mesh=mesh,
+                evaluate=not args.no_evaluate, max_frames=args.max_frames)
+            for f, (predictions, gts) in list(zip(group_files, results))[:n_real]:
+                _, scene_name, system_name = parse_job(f)
+                save_results(predictions, gts, system_name, scene_name,
+                             args.output)
+        return
+
+    for i, index_file in enumerate(index_files):
+        scene_folder, scene_name, system_name = parse_job(index_file)
+        print(f"Predicting for scene {scene_name} - {i}/{len(index_files)}")
         if args.batch_size is not None:
             predictions, gts = evaluate_scene_batched(
                 engine, scene_folder, index_file, cfg, args.batch_size,
@@ -312,10 +509,6 @@ def main():
             predictions, gts = evaluate_scene(
                 engine, scene_folder, index_file, cfg,
                 evaluate=not args.no_evaluate, max_frames=args.max_frames)
-        system_name = (
-            f"{keyframing_type}_{dataset_name}_{cfg.image_width}_{cfg.image_height}"
-            f"_{args.n_measurement_frames}_dvmvs_tpu_{args.model}"
-        )
         save_results(predictions, gts, system_name, scene_name, args.output)
 
 

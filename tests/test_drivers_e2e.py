@@ -255,3 +255,55 @@ def test_evaluate_scene_batched_matches_sequential(png_scene, tiny_cfg):
         evaluate=False)
     for s, b in zip(seq, shard):
         np.testing.assert_allclose(b, s, atol=1e-4)
+
+
+@pytest.mark.heavy
+def test_evaluate_scenes_batched_fusion_matches_sequential(png_scene, tiny_cfg):
+    """Scene-parallel fusionnet bulk eval: two scenes with DIFFERENT
+    keyframe schedules (one containing a TRACKING LOST reset, different
+    lengths) advance in lockstep; every per-scene prediction must match
+    the sequential driver, including post-reset recurrent state."""
+    from dvmvs_tpu.apps.engine import InferenceEngine
+    from dvmvs_tpu.apps.run_testing import (
+        evaluate_scene,
+        evaluate_scenes_batched_fusion,
+    )
+    from dvmvs_tpu.parallel.mesh import make_mesh
+
+    scene = os.path.join(png_scene, "tinyset", "000")
+    indices_dir = os.path.join(png_scene, "indices_fusion_batched")
+    os.makedirs(indices_dir, exist_ok=True)
+    idx_a = os.path.join(indices_dir, "keyframe+tinyset+000+nmeas+2")
+    with open(idx_a, "w") as f:
+        f.write("00002.png 00001.png 00000.png\n")
+        f.write("00004.png 00003.png 00002.png\n")
+        f.write("TRACKING LOST\n")
+        f.write("00008.png 00007.png 00006.png\n")
+    idx_b = os.path.join(indices_dir, "keyframe+tinyset+001+nmeas+2")
+    with open(idx_b, "w") as f:
+        f.write("00001.png 00000.png\n")
+        f.write("00003.png 00002.png 00001.png\n")
+        f.write("00005.png 00004.png 00003.png\n")
+        f.write("00007.png 00006.png 00005.png\n")
+
+    engine = InferenceEngine("fusionnet", tiny_cfg)
+    seq_a, gts_a = evaluate_scene(engine, scene, idx_a, tiny_cfg)
+    seq_b, _ = evaluate_scene(engine, scene, idx_b, tiny_cfg)
+
+    results = evaluate_scenes_batched_fusion(
+        engine, [(scene, idx_a), (scene, idx_b)], tiny_cfg)
+    bat_a, bat_gts_a = results[0]
+    bat_b, _ = results[1]
+    assert len(bat_a) == len(seq_a) == 3
+    assert len(bat_b) == len(seq_b) == 4
+    assert len(bat_gts_a) == len(gts_a)
+    for s, b in zip(seq_a + seq_b, bat_a + bat_b):
+        np.testing.assert_allclose(b, s, atol=1e-4)
+
+    # sharded over a 2-device mesh (batch == scenes == 2)
+    mesh = make_mesh(2)
+    results = evaluate_scenes_batched_fusion(
+        engine, [(scene, idx_a), (scene, idx_b)], tiny_cfg, mesh=mesh,
+        evaluate=False)
+    for s, b in zip(seq_a + seq_b, results[0][0] + results[1][0]):
+        np.testing.assert_allclose(b, s, atol=1e-4)
