@@ -230,10 +230,12 @@ def main():
     args = ap.parse_args()
 
     size_kw = {}
-    if args.width is not None:
-        size_kw["image_width"] = args.width
-    if args.height is not None:
-        size_kw["image_height"] = args.height
+    for flag, key in ((args.width, "image_width"), (args.height, "image_height")):
+        if flag is not None:
+            if flag % 32:
+                raise SystemExit(f"--{key.split('_')[1]} must be a multiple "
+                                 "of 32 (1/32 bottleneck grid)")
+            size_kw[key] = flag
     cfg = TestConfig(n_measurement_frames=args.n_measurement_frames,
                      visualize=args.visualize, **size_kw)
     engine = InferenceEngine(args.model, cfg)

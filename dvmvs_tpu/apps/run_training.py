@@ -299,15 +299,22 @@ def main():
                     "batch_stats": jax.device_get(state.batch_stats),
                 })
                 print("  saved", ckpt)
-            # full training state (incl. optimizer) for resume
+            # full training state (incl. optimizer) for resume — written
+            # atomically (tmp + os.replace), state BEFORE meta, so a kill at
+            # any instant leaves either the previous consistent pair or a
+            # new state with the old meta (resume then redoes one epoch);
+            # never a truncated file a later resume would crash on
             import flax.serialization
             import json
             state_path = os.path.join(run_dir, f"{kind}_latest.state.msgpack")
-            with open(state_path, "wb") as f:
+            with open(state_path + ".tmp", "wb") as f:
                 f.write(flax.serialization.to_bytes(jax.device_get(state)))
-            with open(state_path + ".meta.json", "w") as f:
+            os.replace(state_path + ".tmp", state_path)
+            meta_path = state_path + ".meta.json"
+            with open(meta_path + ".tmp", "w") as f:
                 json.dump({"epoch": epoch + 1, "stage": stage_i,
                            "best_loss": [float(b) for b in best_loss]}, f)
+            os.replace(meta_path + ".tmp", meta_path)
             epoch += 1
         variables = {"params": state.params, "batch_stats": state.batch_stats}
 

@@ -29,6 +29,11 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
+            if n_devices > len(devices):
+                raise ValueError(
+                    f"requested {n_devices} devices, only {len(devices)} "
+                    "available (a silently truncated mesh would fail later "
+                    "with an opaque sharding error)")
             devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 

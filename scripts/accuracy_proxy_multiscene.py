@@ -120,10 +120,19 @@ def run_watchdog(cmd, stale_secs=STALE_SECS):
 
 
 def latest_state(parent_dir, kind):
-    """Newest full-state checkpoint under parent_dir/*/ for this model."""
+    """Newest RESUMABLE full-state checkpoint under parent_dir/*/: the
+    checkpoint writer is atomic (state then meta, run_training.py), so a
+    state without a loadable meta means a kill landed between the two
+    replaces — fall back to the next-newest pair."""
     paths = glob.glob(os.path.join(
         parent_dir, "*", f"{kind}_latest.state.msgpack"))
-    return max(paths, key=os.path.getmtime) if paths else None
+    for p in sorted(paths, key=os.path.getmtime, reverse=True):
+        try:
+            json.load(open(p + ".meta.json"))
+            return p
+        except (OSError, ValueError) as e:
+            print(f"skipping unreadable checkpoint meta {p}: {e}", flush=True)
+    return None
 
 
 def train_resilient(kind, parent_dir, base_cmd, target_epochs,

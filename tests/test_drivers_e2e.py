@@ -307,3 +307,41 @@ def test_evaluate_scenes_batched_fusion_matches_sequential(png_scene, tiny_cfg):
         evaluate=False)
     for s, b in zip(seq_a + seq_b, results[0][0] + results[1][0]):
         np.testing.assert_allclose(b, s, atol=1e-4)
+
+
+@pytest.mark.heavy
+def test_evaluate_scenes_batched_fusion_empty_and_duplicate_jobs(
+        png_scene, tiny_cfg):
+    """Degenerate lockstep jobs: an index file with only TRACKING LOST
+    yields empty results (the sequential driver's behavior) without
+    aborting the batch, and duplicated jobs (main() pads the final group
+    that way) alias to one parsed scene and return identical results."""
+    from dvmvs_tpu.apps.engine import InferenceEngine
+    from dvmvs_tpu.apps.run_testing import evaluate_scenes_batched_fusion
+
+    scene = os.path.join(png_scene, "tinyset", "000")
+    indices_dir = os.path.join(png_scene, "indices_fusion_degenerate")
+    os.makedirs(indices_dir, exist_ok=True)
+    idx = os.path.join(indices_dir, "keyframe+tinyset+000+nmeas+2")
+    with open(idx, "w") as f:
+        f.write("00002.png 00001.png 00000.png\n")
+        f.write("00004.png 00003.png 00002.png\n")
+    idx_empty = os.path.join(indices_dir, "keyframe+tinyset+002+nmeas+2")
+    with open(idx_empty, "w") as f:
+        f.write("TRACKING LOST\n")
+
+    engine = InferenceEngine("fusionnet", tiny_cfg)
+    results = evaluate_scenes_batched_fusion(
+        engine,
+        [(scene, idx), (scene, idx_empty), (scene, idx)],  # dup of job 0
+        tiny_cfg)
+    assert len(results[0][0]) == 2
+    assert results[1][0] == [] and len(results[1][1] or []) == 0
+    assert len(results[2][0]) == 2
+    for a, b in zip(results[0][0], results[2][0]):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    # all-empty batch short-circuits
+    results = evaluate_scenes_batched_fusion(
+        engine, [(scene, idx_empty)], tiny_cfg)
+    assert results == [([], [])]
