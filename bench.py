@@ -104,12 +104,44 @@ def band_hit_rates(traj, K, H, W, n_levels, min_d, max_d):
     return tiers, [c / n for c in counts]
 
 
+def wait_for_device(probe_timeout=120, max_wait=1800):
+    """The remote-TPU relay occasionally goes down hard (even jax.devices()
+    blocks forever). Probe it in a bounded subprocess and retry for up to
+    max_wait; on persistent outage emit a diagnostic JSON line and exit
+    instead of hanging the harness."""
+    import os
+    import subprocess
+    import sys
+
+    waited = 0
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+                timeout=probe_timeout, capture_output=True, env=os.environ)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if waited >= max_wait:
+            print(json.dumps({
+                "metric": "fusionnet_online_fps_320x256",
+                "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
+                "error": f"TPU relay unreachable for {waited}s; "
+                         "bench could not run",
+            }))
+            raise SystemExit(1)
+        time.sleep(60)
+        waited += 60
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     from dvmvs_tpu.utils.jax_setup import setup_jax
 
+    wait_for_device()
     setup_jax()
 
     from dvmvs_tpu.models.fusionnet import FusionNet, init_lstm_carry
