@@ -345,3 +345,20 @@ def test_evaluate_scenes_batched_fusion_empty_and_duplicate_jobs(
     results = evaluate_scenes_batched_fusion(
         engine, [(scene, idx_empty)], tiny_cfg)
     assert results == [([], [])]
+
+
+def test_scene_assets_cache_bounded(png_scene, tiny_cfg):
+    """SceneAssets caps its preprocessed-frame cache (long ScanNet scenes
+    must not pin gigabytes of float32 frames) and serves identical arrays
+    from cache and from a fresh decode."""
+    from dvmvs_tpu.apps.run_testing import SceneAssets
+
+    scene = os.path.join(png_scene, "tinyset", "000")
+    a = SceneAssets(scene, tiny_cfg, cache_frames=3)
+    names = [f"{i:05d}.png" for i in range(6)]
+    first_pass = [np.array(a.image(n)) for n in names]
+    assert len(a._cache) <= 3
+    for n, want in zip(names, first_pass):
+        np.testing.assert_array_equal(a.image(n), want)
+    assert a.image(names[-1]) is a.image(names[-1])  # cache hit
+    assert a.gt_depth(names[0]).shape == first_pass[0].shape[:2]
