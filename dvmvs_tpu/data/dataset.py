@@ -59,6 +59,7 @@ class MVSSequenceDataset:
         seed: int = 0,
         scenes: Optional[List[str]] = None,
         frame_cache_gb: Optional[float] = None,
+        wire_compact: bool = False,
     ):
         self.root = root
         self.split = split
@@ -68,6 +69,13 @@ class MVSSequenceDataset:
         self.mean_rgb = list(mean_rgb)
         self.std_rgb = list(std_rgb)
         self.geometric_scale_augmentation = geometric_scale_augmentation
+        # compact wire format: emit uint8 images (post-augmentation, still
+        # un-normalized) + float16 depths; the jitted train/eval steps cast
+        # and normalize ON DEVICE (parallel/train.py::decode_wire_batch),
+        # shrinking host->device transfer ~3.6x. Quantization is lossless
+        # when color augmentation doesn't fire (validation) and <=0.5/255
+        # dither when it does.
+        self.wire_compact = wire_compact
         self.rng = np.random.RandomState(seed)
         self.pyrng = random.Random(seed)
 
@@ -195,18 +203,25 @@ class MVSSequenceDataset:
             if self.split == "TRAINING" and 55.0 < rgb_average < 200.0:
                 for fn, v in color_transforms:
                     im = fn(im, v)
-            im = (im * 255.0) / self.scale_rgb
-            for c in range(3):
-                im[:, :, c] = (im[:, :, c] - self.mean_rgb[c]) / self.std_rgb[c]
+            if self.wire_compact:
+                # un-normalized uint8 over the wire; the jitted step divides
+                # by scale_rgb and applies mean/std on device
+                im = np.clip(np.round(im * 255.0), 0, 255).astype(np.uint8)
+            else:
+                im = (im * 255.0) / self.scale_rgb
+                for c in range(3):
+                    im[:, :, c] = (im[:, :, c] - self.mean_rgb[c]) / self.std_rgb[c]
             pose = pose.astype(np.float32).copy()
             pose[0:3, 3] *= geometric_scale_factor
             out_images.append(im)
             out_depths.append(d * geometric_scale_factor)
             out_poses.append(pose)
 
+        img_dtype = np.uint8 if self.wire_compact else np.float32
+        dep_dtype = np.float16 if self.wire_compact else np.float32
         return {
-            "images": np.stack(out_images).astype(np.float32),
-            "depths": np.stack(out_depths).astype(np.float32),
+            "images": np.stack(out_images).astype(img_dtype),
+            "depths": np.stack(out_depths).astype(dep_dtype),
             "poses": np.stack(out_poses).astype(np.float32),
             "K": new_K.copy(),
         }

@@ -25,8 +25,27 @@ from dvmvs_tpu.models.training_heads import (
     fusionnet_train_sequence,
     pairnet_train_pair,
 )
+from dvmvs_tpu.config import MEAN_RGB, SCALE_RGB, STD_RGB
 from dvmvs_tpu.parallel.mesh import batch_sharding, replicated_sharding
 from dvmvs_tpu.utils.losses import calculate_loss
+
+
+def decode_wire_batch(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """On-device decode of the COMPACT wire format (images uint8, depths
+    float16 — dataset wire_compact=True): cast + ImageNet normalization
+    happen inside the jitted step, so host->device traffic drops ~3.6x.
+    That matters through this sandbox's RPC relay and on real hosts (PCIe);
+    shipping uint8 pixels and normalizing on device is the standard
+    high-throughput TPU input-pipeline shape. float32 batches pass through
+    unchanged — dtype is static at trace time, so this is free."""
+    if batch["images"].dtype == jnp.uint8:
+        x = batch["images"].astype(jnp.float32) / jnp.float32(SCALE_RGB)
+        mean = jnp.asarray(MEAN_RGB, jnp.float32)
+        std = jnp.asarray(STD_RGB, jnp.float32)
+        batch = dict(batch, images=(x - mean) / std)
+    if batch["depths"].dtype != jnp.float32:
+        batch = dict(batch, depths=batch["depths"].astype(jnp.float32))
+    return batch
 
 # Unfreeze schedules (top-level module names), per reference driver.
 FUSIONNET_STAGES: List[List[str]] = [
@@ -148,6 +167,7 @@ def make_train_step(model, tx, mesh=None, kind: str = "fusionnet",
     """
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
+        batch = decode_wire_batch(batch)
         if kind == "fusionnet":
             def lf(p):
                 return fusionnet_loss_fn(p, state.batch_stats, model, batch,
@@ -187,6 +207,7 @@ def make_train_step(model, tx, mesh=None, kind: str = "fusionnet",
 def make_eval_step(model, kind: str = "fusionnet", loss_type: str = "L1-inv",
                    mesh=None):
     def step(state: TrainState, batch):
+        batch = decode_wire_batch(batch)
         # validation runs with BN in eval mode (running stats), like the
         # reference's switch_mode (dvmvs/train.py:13-15, 124)
         if kind == "fusionnet":

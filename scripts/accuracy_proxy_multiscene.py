@@ -217,7 +217,10 @@ def train_and_eval_seed(args, seed):
         return json.load(open(summary))
     common = ["--dataset", os.path.join(args.root, "train"),
               "--image-size", str(args.res), str(args.res),
-              "--seed", str(seed), "--print-frequency", "25"]
+              "--seed", str(seed), "--print-frequency", "25",
+              # uint8 wire format: ~3.6x less host->device traffic — the
+              # relay tunnel's upload bandwidth dominates step time here
+              "--wire-compact"]
 
     train_resilient(
         "pairnet", os.path.join(runs, "pairnet"),

@@ -98,3 +98,42 @@ def test_color_augmenters_match_kornia_semantics():
     np.testing.assert_allclose(adjust_brightness(x, -0.5).min(), 0.0)
     np.testing.assert_allclose(adjust_contrast(x, 2.0), np.clip(x * 2, 0, 1))
     np.testing.assert_allclose(adjust_gamma(x, 2.0), x ** 2)
+
+
+def test_wire_compact_roundtrip(synthetic_root):
+    """Compact wire format: uint8 images + f16 depths, decoded on device by
+    decode_wire_batch. Validation (no color aug) must be BIT-IDENTICAL to
+    the float32 pipeline; training differs only by the <=0.5/255
+    quantization dither after augmentation."""
+    import jax.numpy as jnp
+
+    from dvmvs_tpu.parallel.train import decode_wire_batch
+
+    cfg = TrainConfig(image_width=64, image_height=48, data_pipeline_workers=1)
+
+    # validation: exact
+    f32 = MVSSequenceDataset(synthetic_root, "VALIDATION", 2, cfg, seed=0)
+    u8 = MVSSequenceDataset(synthetic_root, "VALIDATION", 2, cfg, seed=0,
+                            wire_compact=True)
+    a, b = f32[0], u8[0]
+    assert b["images"].dtype == np.uint8 and b["depths"].dtype == np.float16
+    dec = decode_wire_batch({k: jnp.asarray(v) for k, v in b.items()})
+    np.testing.assert_array_equal(np.asarray(dec["images"]), a["images"])
+    np.testing.assert_allclose(np.asarray(dec["depths"]), a["depths"],
+                               atol=1e-2)
+    assert dec["depths"].dtype == jnp.float32
+
+    # training (color aug fires): dither bounded by the uint8 quantum
+    f32 = MVSSequenceDataset(synthetic_root, "TRAINING", 2, cfg, seed=5,
+                             geometric_scale_augmentation=True)
+    u8 = MVSSequenceDataset(synthetic_root, "TRAINING", 2, cfg, seed=5,
+                            geometric_scale_augmentation=True,
+                            wire_compact=True)
+    a, b = f32[0], u8[0]
+    dec = decode_wire_batch({k: jnp.asarray(v) for k, v in b.items()})
+    quantum = (0.5 / 255.0) / min(0.229, 0.224, 0.225)
+    np.testing.assert_allclose(
+        np.asarray(dec["images"]), a["images"], atol=quantum + 1e-6)
+    # a float32 batch passes through decode_wire_batch untouched
+    same = decode_wire_batch({k: jnp.asarray(v) for k, v in a.items()})
+    np.testing.assert_array_equal(np.asarray(same["images"]), a["images"])

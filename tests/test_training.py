@@ -177,3 +177,48 @@ def test_stage_epoch_budget_schedule_and_resume():
             total += n
             e += n
         assert e == 6, (resume_epoch, e)
+
+
+def test_train_step_accepts_compact_wire_batch(rng):
+    """The jitted train step dtype-dispatches on the compact wire format
+    (uint8 images + f16 depths, decode_wire_batch) and produces a loss in
+    the same ballpark as the float32 pipeline for the same underlying
+    pixels."""
+    from dvmvs_tpu.parallel.train import decode_wire_batch
+
+    model = PairNet()
+    B = 2
+    poses = np.stack(
+        [[random_pose(rng, 0.05) for _ in range(2)] for _ in range(B)]
+    ).astype(np.float32)
+    K = np.array([[30.0, 0, W / 2], [0, 30.0, H / 2], [0, 0, 1]], np.float32)
+    u8 = rng.randint(0, 255, (B, 2, H, W, 3)).astype(np.uint8)
+    depths = rng.uniform(0.5, 8.0, (B, 2, H, W)).astype(np.float32)
+    batch_u8 = {
+        "images": jnp.asarray(u8),
+        "depths": jnp.asarray(depths.astype(np.float16)),
+        "poses": jnp.asarray(poses),
+        "K": jnp.asarray(np.stack([K] * B)),
+    }
+    batch_f32 = dict(batch_u8, images=decode_wire_batch(batch_u8)["images"],
+                     depths=jnp.asarray(depths))
+
+    from dvmvs_tpu.models.training_heads import pairnet_train_pair
+    variables = model.init(
+        jax.random.PRNGKey(0), batch_f32["images"], batch_f32["depths"],
+        batch_f32["poses"], batch_f32["K"], jnp.zeros((1,), bool),
+        method=pairnet_train_pair,
+    )
+    tx = make_optimizer(variables["params"], PAIRNET_STAGES[1],
+                        learning_rate=1e-3)
+    step = make_train_step(model, tx, kind="pairnet", two_way=False,
+                           donate=False)
+
+    state = create_train_state(variables, tx)
+    _, m_u8 = step(state, batch_u8, jax.random.PRNGKey(0))
+    state = create_train_state(variables, tx)
+    _, m_f32 = step(state, batch_f32, jax.random.PRNGKey(0))
+    a, b = float(m_u8["loss"]), float(m_f32["loss"])
+    assert np.isfinite(a) and np.isfinite(b)
+    # identical pixels up to the f16 depth cast -> near-identical loss
+    assert abs(a - b) < 0.05 * max(abs(b), 1.0), (a, b)
