@@ -84,6 +84,7 @@ def run_epoch(step_fn, state, dataset, cfg, mesh, seed, kind, print_frequency=10
         batch_iterator(dataset, cfg.batch_size, shuffle=True, seed=seed), data_sh)
     rng = jax.random.PRNGKey(seed)
     t0 = time.time()
+    t_last, n_last = t0, 0
     n = 0
     for batch in it:
         if max_steps is not None and n >= max_steps:
@@ -94,12 +95,18 @@ def run_epoch(step_fn, state, dataset, cfg, mesh, seed, kind, print_frequency=10
         if n % print_frequency == 0:
             loss = float(metrics["loss"])
             meter.update(loss, 1)
-            rate = n * cfg.batch_size / (time.time() - t0)
-            print(f"  step {n}: loss {loss:.4f} ({meter.avg:.4f} avg) {rate:.1f} samples/s",
-                  flush=True)
+            now = time.time()
+            rate = n * cfg.batch_size / (now - t0)
+            # windowed rate excludes compile/warm-up amortization — the
+            # number that shows input-pipeline or relay slowdowns live
+            win = (n - n_last) * cfg.batch_size / max(now - t_last, 1e-9)
+            t_last, n_last = now, n
+            print(f"  step {n}: loss {loss:.4f} ({meter.avg:.4f} avg) "
+                  f"{rate:.1f} samples/s (window {win:.1f})", flush=True)
             if logger is not None:
                 logger.log(int(state.step), "train", {
-                    "loss": loss, "samples_per_s": rate})
+                    "loss": loss, "samples_per_s": rate,
+                    "samples_per_s_window": win})
     return state, meter
 
 
