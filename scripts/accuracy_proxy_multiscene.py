@@ -218,6 +218,7 @@ def train_and_eval_seed(args, seed):
     common = ["--dataset", os.path.join(args.root, "train"),
               "--image-size", str(args.res), str(args.res),
               "--seed", str(seed), "--print-frequency", "25",
+              "--finetune-epochs", str(args.finetune_epochs),
               # uint8 wire format: ~3.6x less host->device traffic — the
               # relay tunnel's upload bandwidth dominates step time here
               "--wire-compact"]
@@ -292,6 +293,10 @@ def main():
     ap.add_argument("--pair-batch", type=int, default=14)
     ap.add_argument("--fusion-batch", type=int, default=4)
     ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--finetune-epochs", type=int, default=2,
+                    help="epochs per non-final unfreeze stage; keep "
+                         "epochs > finetune_epochs*(n_stages-1) so the "
+                         "full-unfreeze stage actually runs")
     ap.add_argument("--train-scenes", type=int, default=12)
     ap.add_argument("--eval-scenes", type=int, default=3)
     ap.add_argument("--frames", type=int, default=160)
