@@ -49,7 +49,7 @@ LOWER_BETTER = [True] * 5 + [False] * 3
 # STALE_SECS -> kill -9 the child and retry, resuming training from the
 # latest full-state checkpoint. Normal silent windows (validation pass +
 # state serialization) are < 10 min; 15 min is comfortably above them.
-STALE_SECS = 900
+STALE_SECS = int(os.environ.get("PROXY_STALE_SECS", "900"))
 
 # children write through a pipe now; force line-visible output so the
 # staleness watchdog never mistakes python block-buffering for a hang
