@@ -90,7 +90,27 @@ def run_epoch(step_fn, state, dataset, cfg, mesh, seed, kind, print_frequency=10
         if max_steps is not None and n >= max_steps:
             break
         rng, sub = jax.random.split(rng)
-        state, metrics = step_fn(state, batch, jax.device_put(sub, replicated_sharding(mesh)))
+        if n == 0:
+            # first step of a stage traces + compiles synchronously; on the
+            # remote relay that can be silent for 15+ min, which trips any
+            # output-staleness supervisor — emit a heartbeat until it returns
+            import threading
+            hb_stop = threading.Event()
+
+            def _heartbeat(t_start=time.time()):
+                while not hb_stop.wait(240.0):
+                    print(f"  step 1 in flight {time.time() - t_start:.0f}s "
+                          "(first-step XLA compile + warm-up)", flush=True)
+
+            threading.Thread(target=_heartbeat, daemon=True).start()
+            try:
+                state, metrics = step_fn(
+                    state, batch, jax.device_put(sub, replicated_sharding(mesh)))
+            finally:
+                hb_stop.set()
+        else:
+            state, metrics = step_fn(
+                state, batch, jax.device_put(sub, replicated_sharding(mesh)))
         n += 1
         if n % print_frequency == 0:
             loss = float(metrics["loss"])
