@@ -247,7 +247,12 @@ def main():
     print("run directory:", run_dir)
 
     model = (FusionNet() if kind == "fusionnet" else PairNet())
+    # phase prints double as liveness for output-staleness supervisors
+    # (accuracy_proxy_multiscene.py): on the remote relay this init compile
+    # alone can be silent for minutes.
+    print("initializing parameters (device init compile)...", flush=True)
     variables = init_variables(model, kind, cfg, args.seed)
+    print("parameters initialized; crawling training samples...", flush=True)
     if args.warm_start:
         # partial: a pairnet checkpoint warm-starts fusionnet's shared
         # modules, lstm_fusion keeps its fresh init (the reference's
