@@ -222,6 +222,10 @@ def train_and_eval_seed(args, seed):
               # uint8 wire format: ~3.6x less host->device traffic — the
               # relay tunnel's upload bandwidth dominates step time here
               "--wire-compact"]
+    if args.max_steps:
+        # single-core hosts: cap optimizer steps/epoch so a multi-seed run
+        # fits a wall-clock budget (epoch shuffling still varies samples)
+        common += ["--max-steps", str(args.max_steps)]
 
     train_resilient(
         "pairnet", os.path.join(runs, "pairnet"),
@@ -267,6 +271,11 @@ def report(seeds):
         per_seed.append((seed, json.load(open(p))))
     if not per_seed:
         return
+    # persist the raw per-seed table outside the gitignored results/ tree so
+    # a completed run survives sandbox resets (BASELINE.md cites this file)
+    with open("proxy_ms_report.json", "w") as f:
+        json.dump({"metrics": METRIC_NAMES,
+                   "seeds": {str(s): v for s, v in per_seed}}, f, indent=1)
     pair = np.array([s["pairnet"] for _, s in per_seed])
     fusion = np.array([s["fusionnet"] for _, s in per_seed])
     print(f"\n=== multi-scene proxy, {len(per_seed)} seed(s) "
@@ -293,6 +302,8 @@ def main():
     ap.add_argument("--pair-batch", type=int, default=14)
     ap.add_argument("--fusion-batch", type=int, default=4)
     ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--max-steps", type=int, default=None,
+                    help="cap optimizer steps per epoch (wall-clock budget)")
     ap.add_argument("--finetune-epochs", type=int, default=2,
                     help="epochs per non-final unfreeze stage; keep "
                          "epochs > finetune_epochs*(n_stages-1) so the "
