@@ -76,6 +76,36 @@ def init_variables(model, kind: str, cfg: TrainConfig, rng_seed: int = 0):
         method=pairnet_train_pair)
 
 
+def liveness(label, interval=240.0):
+    """Context manager printing a heartbeat line every ``interval`` seconds.
+
+    Long silent device-side phases (first-step XLA compile, the validation
+    pass) would otherwise trip any output-staleness supervisor
+    (scripts/accuracy_proxy_multiscene.py kills children after 15 min of
+    silence — the exact failure mode that looped every round-3 fusionnet
+    attempt at step 32)."""
+    import threading
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _cm():
+        stop = threading.Event()
+        t0 = time.time()
+
+        def beat():
+            while not stop.wait(interval):
+                print(f"  {label} in flight {time.time() - t0:.0f}s",
+                      flush=True)
+
+        threading.Thread(target=beat, daemon=True).start()
+        try:
+            yield
+        finally:
+            stop.set()
+
+    return _cm()
+
+
 def run_epoch(step_fn, state, dataset, cfg, mesh, seed, kind, print_frequency=100,
               max_steps=None, logger=None):
     meter = LossMeter()
@@ -92,22 +122,10 @@ def run_epoch(step_fn, state, dataset, cfg, mesh, seed, kind, print_frequency=10
         rng, sub = jax.random.split(rng)
         if n == 0:
             # first step of a stage traces + compiles synchronously; on the
-            # remote relay that can be silent for 15+ min, which trips any
-            # output-staleness supervisor — emit a heartbeat until it returns
-            import threading
-            hb_stop = threading.Event()
-
-            def _heartbeat(t_start=time.time()):
-                while not hb_stop.wait(240.0):
-                    print(f"  step 1 in flight {time.time() - t_start:.0f}s "
-                          "(first-step XLA compile + warm-up)", flush=True)
-
-            threading.Thread(target=_heartbeat, daemon=True).start()
-            try:
+            # remote relay that can be silent for 15+ min
+            with liveness("step 1 (first-step XLA compile + warm-up)"):
                 state, metrics = step_fn(
                     state, batch, jax.device_put(sub, replicated_sharding(mesh)))
-            finally:
-                hb_stop.set()
         else:
             state, metrics = step_fn(
                 state, batch, jax.device_put(sub, replicated_sharding(mesh)))
@@ -130,39 +148,83 @@ def run_epoch(step_fn, state, dataset, cfg, mesh, seed, kind, print_frequency=10
     return state, meter
 
 
+_PANEL_APPLY = {}
+
+
+def _panel_apply_fn(model, kind):
+    """Jitted forward for the depth-panel dump. Un-jitted ``model.apply``
+    executes op-by-op over the relay (thousands of tiny dispatches — minutes
+    of silence); jit it once and cache per (model, kind)."""
+    key = (id(model), kind)
+    if key not in _PANEL_APPLY:
+        from dvmvs_tpu.models.training_heads import fusionnet_train_sequence
+        from dvmvs_tpu.parallel.train import decode_wire_batch
+
+        def f(variables, batch):
+            batch = decode_wire_batch(batch)
+            return model.apply(variables, batch["images"], batch["depths"],
+                               batch["poses"], batch["K"], False,
+                               method=fusionnet_train_sequence,
+                               mutable=["batch_stats"])[0]
+
+        _PANEL_APPLY[key] = jax.jit(f)
+    return _PANEL_APPLY[key]
+
+
 def validate(eval_fn, state, dataset, cfg, viz_dir=None, model=None, kind=None,
-             epoch=0):
+             epoch=0, print_every=20):
     meters = {k: LossMeter() for k in ("l1", "huber", "l1_inv", "l1_rel")}
     first_batch = None
-    for batch in device_prefetch(batch_iterator(dataset, cfg.batch_size, shuffle=False)):
-        if first_batch is None:
-            first_batch = batch
-        metrics = eval_fn(state, batch)
-        count = float(metrics["valid_count"])
-        for k in meters:
-            meters[k].update(float(metrics[k]), max(count, 1.0))
+    n = 0
+    t0 = time.time()
+    with liveness("validation (eval compile + pass)"):
+        for batch in device_prefetch(
+                batch_iterator(dataset, cfg.batch_size, shuffle=False)):
+            if first_batch is None:
+                first_batch = batch
+            metrics = eval_fn(state, batch)
+            count = float(metrics["valid_count"])
+            for k in meters:
+                meters[k].update(float(metrics[k]), max(count, 1.0))
+            n += 1
+            if n % print_every == 0:
+                print(f"  validation batch {n} ({time.time() - t0:.0f}s)",
+                      flush=True)
 
-    if viz_dir is not None and first_batch is not None and model is not None:
-        # depth-panel dump, the reference's periodic tensorboard image grid
-        # (dvmvs/train.py:47-77)
-        from dvmvs_tpu.models.training_heads import fusionnet_train_sequence
-        from dvmvs_tpu.utils.visualization import colorize_depth
-        import cv2
-        if kind == "fusionnet":
-            preds = model.apply(
-                {"params": jax.device_get(state.params),
-                 "batch_stats": jax.device_get(state.batch_stats)},
-                first_batch["images"], first_batch["depths"],
-                first_batch["poses"], first_batch["K"], False,
-                method=fusionnet_train_sequence, mutable=["batch_stats"])[0]
-            pred_full = np.asarray(preds[0][-1][0])  # last step, first sample
-            gt = np.asarray(first_batch["depths"][0, -1])
-            os.makedirs(viz_dir, exist_ok=True)
-            cv2.imwrite(os.path.join(viz_dir, f"epoch{epoch:04d}_pred.png"),
-                        colorize_depth(pred_full))
-            cv2.imwrite(os.path.join(viz_dir, f"epoch{epoch:04d}_gt.png"),
-                        colorize_depth(gt))
+        if viz_dir is not None and first_batch is not None and model is not None:
+            # depth-panel dump, the reference's periodic tensorboard image
+            # grid (dvmvs/train.py:47-77)
+            from dvmvs_tpu.utils.visualization import colorize_depth
+            import cv2
+            if kind == "fusionnet":
+                preds = _panel_apply_fn(model, kind)(
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                    first_batch)
+                pred_full = np.asarray(preds[0][-1][0])  # last step, first sample
+                gt = np.asarray(first_batch["depths"][0, -1], np.float32)
+                os.makedirs(viz_dir, exist_ok=True)
+                cv2.imwrite(os.path.join(viz_dir, f"epoch{epoch:04d}_pred.png"),
+                            colorize_depth(pred_full))
+                cv2.imwrite(os.path.join(viz_dir, f"epoch{epoch:04d}_gt.png"),
+                            colorize_depth(gt))
     return [meters[k].avg for k in ("l1", "l1_inv", "l1_rel", "huber")]
+
+
+def write_resume_state(run_dir, kind, state, next_epoch, stage_i, best_loss):
+    """Atomically persist the full-resume pair. ``state=None`` rewrites only
+    the meta file (used to refresh best_loss after validation)."""
+    import flax.serialization
+    import json
+    state_path = os.path.join(run_dir, f"{kind}_latest.state.msgpack")
+    if state is not None:
+        with open(state_path + ".tmp", "wb") as f:
+            f.write(flax.serialization.to_bytes(jax.device_get(state)))
+        os.replace(state_path + ".tmp", state_path)
+    meta_path = state_path + ".meta.json"
+    with open(meta_path + ".tmp", "w") as f:
+        json.dump({"epoch": next_epoch, "stage": stage_i,
+                   "best_loss": [float(b) for b in best_loss]}, f)
+    os.replace(meta_path + ".tmp", meta_path)
 
 
 def main():
@@ -313,12 +375,29 @@ def main():
         last_stage = stage_i == len(stages) - 1
         n_epochs = stage_epoch_budget(
             len(stages), stage_i, epoch, cfg.finetune_epochs, cfg.epochs)
+        # forcing print_frequency=2 under --max-steps is a smoke-test
+        # convenience; an EXPLICIT --print-frequency always wins (round-3
+        # advisor finding: the proxy's --print-frequency 25 was silently
+        # overridden on budget-capped runs)
+        print_freq = cfg.print_frequency
+        if args.max_steps is not None and args.print_frequency is None:
+            print_freq = 2
         for _ in range(n_epochs):
             print(f"\nEPOCH {epoch} (stage {stage_i}: {modules})")
             state, meter = run_epoch(
                 step_fn, state, train_set, cfg, mesh, args.seed + epoch, kind,
-                print_frequency=2 if args.max_steps else cfg.print_frequency,
+                print_frequency=print_freq,
                 max_steps=args.max_steps, logger=logger)
+            # full training state (incl. optimizer) for resume — written
+            # BEFORE validation (round 3: every fusionnet attempt was
+            # watchdog-killed inside the silent validation pass, and with the
+            # state write after validation no resume point ever existed — an
+            # infinite from-scratch loop). Atomic (tmp + os.replace), state
+            # before meta, so a kill at any instant leaves either the previous
+            # consistent pair or a new state with the old meta (resume then
+            # redoes one epoch); never a truncated file.
+            write_resume_state(run_dir, kind, state, epoch + 1, stage_i,
+                               best_loss)
             improved = True
             if cfg.validate:
                 losses = validate(eval_fn, state, val_set, cfg,
@@ -332,6 +411,10 @@ def main():
                 improved = any(l < b for l, b in zip(losses, best_loss))
                 if improved:
                     best_loss = [min(l, b) for l, b in zip(losses, best_loss)]
+                    # refresh meta so a later resume carries the new best
+                    # (meta-only rewrite; state is unchanged by validation)
+                    write_resume_state(run_dir, kind, None, epoch + 1,
+                                       stage_i, best_loss)
             if improved:
                 ckpt = os.path.join(run_dir, f"{kind}_epoch{epoch}.msgpack")
                 save_checkpoint(ckpt, {
@@ -339,22 +422,6 @@ def main():
                     "batch_stats": jax.device_get(state.batch_stats),
                 })
                 print("  saved", ckpt)
-            # full training state (incl. optimizer) for resume — written
-            # atomically (tmp + os.replace), state BEFORE meta, so a kill at
-            # any instant leaves either the previous consistent pair or a
-            # new state with the old meta (resume then redoes one epoch);
-            # never a truncated file a later resume would crash on
-            import flax.serialization
-            import json
-            state_path = os.path.join(run_dir, f"{kind}_latest.state.msgpack")
-            with open(state_path + ".tmp", "wb") as f:
-                f.write(flax.serialization.to_bytes(jax.device_get(state)))
-            os.replace(state_path + ".tmp", state_path)
-            meta_path = state_path + ".meta.json"
-            with open(meta_path + ".tmp", "w") as f:
-                json.dump({"epoch": epoch + 1, "stage": stage_i,
-                           "best_loss": [float(b) for b in best_loss]}, f)
-            os.replace(meta_path + ".tmp", meta_path)
             epoch += 1
         variables = {"params": state.params, "batch_stats": state.batch_stats}
 

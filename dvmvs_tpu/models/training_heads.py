@@ -78,9 +78,14 @@ def fusionnet_train_sequence(self, images, depths, poses, K, bn_train: bool = Tr
         return (h2, c2), preds
 
     hidden = self.hidden_channels
+    # Carry dtype must be a float independent of the wire format: callers
+    # are expected to decode compact (uint8) batches first, but a uint8
+    # carry0 would poison the scan's carry typing either way.
+    carry_dtype = (images.dtype if jnp.issubdtype(images.dtype, jnp.floating)
+                   else jnp.float32)
     carry0 = (
-        jnp.zeros((B, H // 32, W // 32, hidden), images.dtype),
-        jnp.zeros((B, H // 32, W // 32, hidden), images.dtype),
+        jnp.zeros((B, H // 32, W // 32, hidden), carry_dtype),
+        jnp.zeros((B, H // 32, W // 32, hidden), carry_dtype),
     )
 
     if self.is_initializing():

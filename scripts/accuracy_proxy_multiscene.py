@@ -222,7 +222,7 @@ def train_and_eval_seed(args, seed):
               # uint8 wire format: ~3.6x less host->device traffic — the
               # relay tunnel's upload bandwidth dominates step time here
               "--wire-compact"]
-    if args.max_steps:
+    if args.max_steps is not None:
         # single-core hosts: cap optimizer steps/epoch so a multi-seed run
         # fits a wall-clock budget (epoch shuffling still varies samples)
         common += ["--max-steps", str(args.max_steps)]
@@ -264,7 +264,8 @@ def train_and_eval_seed(args, seed):
 def report(seeds):
     per_seed = []
     for seed in seeds:
-        p = os.path.join("results", "proxy_ms", f"seed{seed}", "summary.json")
+        p = os.path.join(REPO, "results", "proxy_ms", f"seed{seed}",
+                         "summary.json")
         if not os.path.exists(p):
             print(f"seed {seed}: no summary yet ({p})")
             continue
@@ -272,10 +273,21 @@ def report(seeds):
     if not per_seed:
         return
     # persist the raw per-seed table outside the gitignored results/ tree so
-    # a completed run survives sandbox resets (BASELINE.md cites this file)
-    with open("proxy_ms_report.json", "w") as f:
-        json.dump({"metrics": METRIC_NAMES,
-                   "seeds": {str(s): v for s, v in per_seed}}, f, indent=1)
+    # a completed run survives sandbox resets (BASELINE.md cites this file).
+    # REPO-anchored (children run with cwd=REPO; the report must match) and
+    # MERGED with any previously recorded seeds so a later --report-only run
+    # over a subset never clobbers a complete table (round-3 advisor finding)
+    report_path = os.path.join(REPO, "proxy_ms_report.json")
+    merged = {}
+    if os.path.exists(report_path):
+        try:
+            merged = json.load(open(report_path)).get("seeds", {})
+        except ValueError:
+            pass
+    merged.update({str(s): v for s, v in per_seed})
+    with open(report_path, "w") as f:
+        json.dump({"metrics": METRIC_NAMES, "seeds": merged}, f, indent=1)
+    per_seed = sorted(((int(s), v) for s, v in merged.items()))
     pair = np.array([s["pairnet"] for _, s in per_seed])
     fusion = np.array([s["fusionnet"] for _, s in per_seed])
     print(f"\n=== multi-scene proxy, {len(per_seed)} seed(s) "
