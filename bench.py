@@ -64,7 +64,76 @@ def make_trajectory(n: int, rs: np.random.RandomState,
     return np.stack(poses).astype(np.float32)
 
 
-def band_hit_rates(traj, K, H, W, n_levels, min_d, max_d):
+def load_hololens_keyframe_poses(n_steps, n_views=2):
+    """Replay the REAL keyframe geometry: (ref_poses (N,4,4), meas_poses
+    (N,V,4,4)) from the reference's shipped hololens scene + nmeas+2 index
+    file (sample-data/indices/keyframe+hololens-dataset+000+nmeas+2) — the
+    rotation-heavy pose mix PERF.md shows hits band-32 36.5% / band-64 7%,
+    which a smooth random walk never stresses. Returns None when the
+    reference mount is absent (bench then falls back to a synthetic
+    roll-heavy walk)."""
+    import os
+
+    scene = "/root/reference/sample-data/hololens-dataset/000"
+    index = ("/root/reference/sample-data/indices/"
+             "keyframe+hololens-dataset+000+nmeas+2")
+    if not (os.path.exists(scene) and os.path.exists(index)):
+        return None
+    poses = np.loadtxt(os.path.join(scene, "poses.txt")).reshape(-1, 4, 4)
+    names = sorted(os.listdir(os.path.join(scene, "images")))
+    frame_of = {n: i for i, n in enumerate(names)}
+    refs, meas = [], []
+    for line in open(index):
+        parts = line.split()
+        if len(parts) != n_views + 1:  # TRACKING LOST etc.
+            continue
+        refs.append(poses[frame_of[parts[0]]])
+        meas.append([poses[frame_of[p]] for p in parts[1:]])
+    if len(refs) > n_steps:
+        # stride-sample the WHOLE sequence: the first ~50 keyframes are
+        # gentle (band-8/16 only); the roll-heavy stretch PERF.md measured
+        # (36.5% band-32 / 7% band-64) is further in
+        idx = np.linspace(0, len(refs) - 1, n_steps).round().astype(int)
+        refs = [refs[i] for i in idx]
+        meas = [meas[i] for i in idx]
+    if len(refs) < n_steps:  # tile to length (keeps tier mix)
+        k = -(-n_steps // len(refs))
+        refs, meas = (refs * k)[:n_steps], (meas * k)[:n_steps]
+    return (np.asarray(refs, np.float32), np.asarray(meas, np.float32))
+
+
+def make_roll_heavy_trajectory(n, rs, t_step=0.10, rot_deg=12.0):
+    """Fallback hard-geometry walk: rotation axis biased to the camera z
+    (roll), large angles — roll maximizes the per-row source span the band
+    ladder must cover (PERF.md), exercising band-32/48/64/dyn."""
+    poses = [np.eye(4, dtype=np.float64)]
+    for _ in range(n - 1):
+        axis = rs.randn(3) * np.array([0.25, 0.25, 1.0])
+        axis /= np.linalg.norm(axis)
+        ang = np.deg2rad(rot_deg * rs.uniform(0.7, 1.5))
+        K_ = np.array([[0, -axis[2], axis[1]],
+                       [axis[2], 0, -axis[0]],
+                       [-axis[1], axis[0], 0]])
+        R = np.eye(3) + np.sin(ang) * K_ + (1 - np.cos(ang)) * (K_ @ K_)
+        step = np.eye(4)
+        step[:3, :3] = R
+        d = rs.randn(3)
+        step[:3, 3] = d / np.linalg.norm(d) * t_step
+        poses.append(poses[-1] @ step)
+    return np.stack(poses).astype(np.float32)
+
+
+def pose_pairs_from_walk(traj, n_views=2):
+    """(ref_poses, meas_poses) where each step's measurement views are the
+    previous two keyframes — the online buffer's typical selection."""
+    V = n_views
+    refs = traj[V:]
+    meas = np.stack([np.stack([traj[t - 1], traj[t - 2]])
+                     for t in range(V, len(traj))])
+    return refs.astype(np.float32), meas.astype(np.float32)
+
+
+def band_hit_rates(ref_poses, meas_poses, K, H, W, n_levels, min_d, max_d):
     """Fraction of steps taking each band tier / the gather path (the
     lax.switch ladder in ops/cost_volume.py). Returns (tiers, rates) with
     rates[len(tiers)] = gather."""
@@ -91,16 +160,16 @@ def band_hit_rates(traj, K, H, W, n_levels, min_d, max_d):
         return jnp.stack(max_row_spans(Ms, h, w, tuple(tiers), x_tiles=x_tiles))
 
     counts = [0] * (len(tiers) + 1)
-    for t in range(2, len(traj)):
+    for t in range(len(ref_poses)):
         spans = np.max(np.stack([
-            np.asarray(spans_for(jnp.asarray(traj[t]), jnp.asarray(traj[m])))
-            for m in (t - 1, t - 2)]), axis=0)
+            np.asarray(spans_for(jnp.asarray(ref_poses[t]), jnp.asarray(m)))
+            for m in meas_poses[t]]), axis=0)
         idx = len(tiers)
         for i in range(len(tiers) - 1, -1, -1):
             if spans[i] <= tiers[i]:
                 idx = i
         counts[idx] += 1
-    n = max(1, len(traj) - 2)
+    n = max(1, len(ref_poses))
     return tiers, [c / n for c in counts]
 
 
@@ -152,22 +221,32 @@ def main():
     model = FusionNet()
 
     rs = np.random.RandomState(1)
-    traj = make_trajectory(N_STEPS + V, rs)
     K_np = np.array([[259.0, 0, W / 2], [0, 259.5, H / 2], [0, 0, 1]], np.float32)
 
+    # Two geometry configs through ONE compiled program (poses are runtime
+    # inputs): (a) the mixed SE(3) walk — the headline number, hits the easy
+    # tiers; (b) HARD geometry — the real hololens keyframe poses (or a
+    # roll-heavy synthetic walk if the reference mount is absent), which
+    # PERF.md shows demands band-32/64/dyn 46% of the time. Round-3 verdict:
+    # the recorded bench must exercise the ladder's hard half too.
+    mixed = pose_pairs_from_walk(make_trajectory(N_STEPS + V, rs))
+    hard = load_hololens_keyframe_poses(N_STEPS, V)
+    hard_src = "hololens-real-keyframes"
+    if hard is None:
+        hard = pose_pairs_from_walk(
+            make_roll_heavy_trajectory(N_STEPS + V, np.random.RandomState(7)))
+        hard_src = "roll-heavy-synthetic"
+
     refs = jnp.asarray(rs.randn(N_STEPS, H, W, 3).astype(np.float32))
-    # per-step ref pose; the previous two keyframes are the measurement views
-    ref_poses = jnp.asarray(traj[V:])                       # (N, 4, 4)
-    meas_poses = jnp.asarray(
-        np.stack([np.stack([traj[t - 1], traj[t - 2]]) for t in range(V, len(traj))]))
     K = jnp.asarray(K_np[None])
     carry0 = init_lstm_carry(B, H, W)
 
     # init with step-0 geometry
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), refs[0][None],
-        jnp.zeros((B, V, H, W, 3), jnp.float32), ref_poses[0][None],
-        meas_poses[0][None], K, carry0, ref_poses[0][None],
+        jnp.zeros((B, V, H, W, 3), jnp.float32), jnp.asarray(mixed[0][0])[None],
+        jnp.asarray(mixed[1][0])[None], K, carry0,
+        jnp.asarray(mixed[0][0])[None],
         jnp.zeros((B, H // 32, W // 32), jnp.float32))
 
     # ENGINE-FAITHFUL per-frame work (apps/engine.py::encode_and_predict):
@@ -180,10 +259,11 @@ def main():
     # Distinct per-step frames AND poses so XLA can neither hoist the
     # extraction nor constant-fold geometry; the cached features, LSTM
     # carry, and previous depth (feeding the next splat hypothesis) all
-    # ride the scan carry so nothing is DCE'd.
-    def many(variables, carry, K):
+    # ride the scan carry so nothing is DCE'd. Measurement poses arrive as
+    # scan INPUTS so arbitrary keyframe selections (the real index file's)
+    # replay exactly.
+    def many(variables, carry, K, ref_poses, meas_poses):
         prev_depth0 = jnp.zeros((B, H, W), jnp.float32)
-        prev_pose0 = ref_poses[0][None]
 
         def extract(img):
             return model.apply(variables, img[None], method="extract_features")
@@ -192,8 +272,8 @@ def main():
         half_K = scale_intrinsics(K, 0.5)
 
         def body(state, x):
-            c, prev_depth, prev_pose, m1, m2, p1, p2 = state
-            r, rp = x
+            c, prev_depth, prev_pose, m1, m2 = state
+            r, rp, mp = x
             rp = rp[None]
             feats = extract(r)
             hyp = splat_depth_max_strided(
@@ -201,36 +281,48 @@ def main():
             depths, c2 = model.apply(
                 variables, r[None], feats,
                 jnp.stack([m1, m2])[None], rp,
-                jnp.stack([p1, p2])[None], K, c, prev_pose, hyp,
+                mp[None], K, c, prev_pose, hyp,
                 method="predict_depth")
-            new_state = (c2, depths[0], rp, feats[0][0], m1, rp[0], p1)
+            new_state = (c2, depths[0], rp, feats[0][0], m1)
             return new_state, depths[0][0, 0, 0]
 
         _, outs = jax.lax.scan(
-            body, (carry, prev_depth0, prev_pose0, f0, f0,
-                   ref_poses[0], ref_poses[0]),
-            (refs, ref_poses))
+            body, (carry, prev_depth0, ref_poses[0][None], f0, f0),
+            (refs, ref_poses, meas_poses))
         return outs
 
     many_j = jax.jit(many)
-    lowered = many_j.lower(variables, carry0, K)
+    mixed_rp, mixed_mp = jnp.asarray(mixed[0]), jnp.asarray(mixed[1])
+    lowered = many_j.lower(variables, carry0, K, mixed_rp, mixed_mp)
     compiled = lowered.compile()
-    np.asarray(many_j(variables, carry0, K))  # warm
-    times = []
-    for _ in range(WARMUP_REPS + 3):
-        t0 = time.perf_counter()
-        np.asarray(many_j(variables, carry0, K))  # readback forces completion
-        times.append(time.perf_counter() - t0)
-    dt = min(times[WARMUP_REPS:])
-    per_step_ms = dt / N_STEPS * 1000.0
-    fps = 1000.0 / per_step_ms
 
-    extras = {}
+    def measure(rp, mp):
+        np.asarray(many_j(variables, carry0, K, rp, mp))  # warm
+        times = []
+        for _ in range(WARMUP_REPS + 3):
+            t0 = time.perf_counter()
+            np.asarray(many_j(variables, carry0, K, rp, mp))  # readback forces completion
+            times.append(time.perf_counter() - t0)
+        return min(times[WARMUP_REPS:]) / N_STEPS * 1000.0
+
+    per_step_ms = measure(mixed_rp, mixed_mp)
+    fps = 1000.0 / per_step_ms
+    hard_ms = measure(jnp.asarray(hard[0]), jnp.asarray(hard[1]))
+    hard_fps = 1000.0 / hard_ms
+
+    extras = {"hard_pose_source": hard_src, "hard_fps": round(hard_fps, 2)}
     tiers, rates = band_hit_rates(
-        traj, K_np, H, W, model.n_depth_levels, model.min_depth, model.max_depth)
+        mixed[0], mixed[1], K_np, H, W,
+        model.n_depth_levels, model.min_depth, model.max_depth)
     for b, r in zip(tiers, rates):
         extras[f"band{b}_rate"] = round(r, 3)
     extras["gather_rate"] = round(rates[-1], 3)
+    _, hard_rates = band_hit_rates(
+        hard[0], hard[1], K_np, H, W,
+        model.n_depth_levels, model.min_depth, model.max_depth)
+    for b, r in zip(tiers, hard_rates):
+        extras[f"hard_band{b}_rate"] = round(r, 3)
+    extras["hard_gather_rate"] = round(hard_rates[-1], 3)
     try:
         # XLA's cost analysis does NOT count custom-call (Pallas) flops; the
         # banded kernel's dominant matmul is 2*band*C*W^2 MACs per
@@ -240,17 +332,27 @@ def main():
             ca = ca[0]
         xla_flops = float(ca.get("flops", 0.0)) / N_STEPS
         h, w, C, P, Vv = H // 2, W // 2, 32, model.n_depth_levels, V
-        pallas_flops = sum(
-            r * (2.0 * b * C * w * w * h * P * Vv)
-            for b, r in zip(tiers, rates))
-        flops_per_step = xla_flops + pallas_flops
         kind = jax.devices()[0].device_kind.lower()
         peak = next((v for k, v in PEAK_FLOPS.items() if k in kind), None)
+
+        def mfu(rates_, ms):
+            pallas_flops = sum(
+                r * (2.0 * b * C * w * w * h * P * Vv)
+                for b, r in zip(tiers, rates_))
+            flops_per_step = xla_flops + pallas_flops
+            return flops_per_step, (
+                100.0 * flops_per_step / (ms / 1e3) / peak
+                if peak and flops_per_step > 0 else None)
+
+        flops_per_step, mfu_pct = mfu(rates, per_step_ms)
         extras["gflops_per_frame"] = round(flops_per_step / 1e9, 2)
-        if peak and flops_per_step > 0:
-            extras["mfu_pct"] = round(
-                100.0 * flops_per_step / (per_step_ms / 1e3) / peak, 2)
+        if mfu_pct is not None:
+            extras["mfu_pct"] = round(mfu_pct, 2)
             extras["device_kind"] = jax.devices()[0].device_kind
+        hard_flops, hard_mfu = mfu(hard_rates, hard_ms)
+        extras["hard_gflops_per_frame"] = round(hard_flops / 1e9, 2)
+        if hard_mfu is not None:
+            extras["hard_mfu_pct"] = round(hard_mfu, 2)
     except Exception:
         pass
 
