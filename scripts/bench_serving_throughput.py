@@ -1,0 +1,101 @@
+"""Batched bulk-serving throughput sweep (round-4 verdict task 7).
+
+The batched serving modes shipped in round 3 with parity tests but no perf
+evidence; their only reason to exist is throughput (the reference's bulk
+loop is strictly one keyframe per forward on one GPU —
+/root/reference/dvmvs/fusionnet/run-testing.py:95-108). This sweep runs the
+REAL driver entry points on the real chip:
+
+  - pairnet  ``evaluate_scene_batched``   (B independent keyframes/dispatch)
+  - fusionnet ``evaluate_scenes_batched_fusion`` (B scenes in lockstep)
+
+over the reference's shipped hololens scene + nmeas+2 index file at the
+reference eval resolution (320x256), sweeping B in {1,2,4,8,16}, and prints
+keyframes/s per point (wall, incl. feature-bank encode and host asset
+prep — the number a bulk-eval user actually gets). Weights are random-init:
+throughput is weight-independent.
+
+Usage:  python scripts/bench_serving_throughput.py [--reps 3] [--json out]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SCENE = "/root/reference/sample-data/hololens-dataset/000"
+INDEX = ("/root/reference/sample-data/indices/"
+         "keyframe+hololens-dataset+000+nmeas+2")
+
+
+def count_keyframes(index_file):
+    with open(index_file) as f:
+        return sum(1 for l in f.read().splitlines()
+                   if l and l != "TRACKING LOST")
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--batch-sizes", type=int, nargs="+",
+                    default=[1, 2, 4, 8, 16])
+    ap.add_argument("--reps", type=int, default=3,
+                    help="timed repetitions per point; min is reported "
+                         "(relay timings drift +-40%%)")
+    ap.add_argument("--json", default=None, help="write results here too")
+    ap.add_argument("--scene", default=SCENE)
+    ap.add_argument("--index", default=INDEX)
+    args = ap.parse_args()
+
+    from dvmvs_tpu.apps.engine import InferenceEngine
+    from dvmvs_tpu.apps.run_testing import (evaluate_scene_batched,
+                                            evaluate_scenes_batched_fusion)
+    from dvmvs_tpu.config import TestConfig
+
+    cfg = TestConfig()
+    n_kf = count_keyframes(args.index)
+    results = {"keyframes": n_kf, "resolution":
+               [cfg.image_width, cfg.image_height], "points": []}
+    print(f"scene: {args.scene} ({n_kf} keyframes), "
+          f"{cfg.image_width}x{cfg.image_height}, reps={args.reps}")
+
+    for kind, runner in (("pairnet", "batch"), ("fusionnet", "scenes")):
+        engine = InferenceEngine(kind, cfg)
+        for B in args.batch_sizes:
+            best = None
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                if runner == "batch":
+                    preds, _ = evaluate_scene_batched(
+                        engine, args.scene, args.index, cfg, batch_size=B,
+                        evaluate=False)
+                    n = len(preds)
+                else:
+                    out = evaluate_scenes_batched_fusion(
+                        engine, [(args.scene, args.index)] * B, cfg,
+                        evaluate=False)
+                    n = sum(len(p) for p, _ in out)
+                dt = time.perf_counter() - t0
+                assert n == n_kf * (1 if runner == "batch" else B), n
+                rate = n / dt
+                best = rate if best is None else max(best, rate)
+            point = {"model": kind, "B": B,
+                     "keyframes_per_s": round(best, 1)}
+            results["points"].append(point)
+            print(f"  {kind:10s} B={B:2d}: {best:7.1f} keyframes/s")
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=1)
+        print("wrote", args.json)
+
+
+if __name__ == "__main__":
+    main()
