@@ -17,6 +17,18 @@ host readback). Stages:
 
 Stage times need not sum exactly to the full step (XLA fuses across stage
 boundaries in the full program), but they attribute the milliseconds.
+
+Round-4 reconciliation (verdict weak #5: stages summed to 10.26 ms while
+the fused step measured ~7.9): every isolated stage scan carries a
+measurement overhead the fused program pays only ONCE — the fixed relay
+dispatch+readback (~34 ms / N steps) plus the per-step dynamic-slice of
+that stage's stacked inputs from HBM (an artifact of isolation: in the
+fused program the intermediates flow straight from their producers). Each
+stage is therefore also timed with a NULL body — identical scan, identical
+per-step input slices, trivial compute — and the stage's NET time is
+gross - null. The table prints gross, null, and net per stage, the fused
+full step measured in the same process, and the reconciliation
+sum(net) + one harness overhead vs fused.
 """
 
 from __future__ import annotations
@@ -92,7 +104,19 @@ def main():
         print(f"{label:>28}: {ms:7.3f} ms/step", flush=True)
         return ms
 
+    def time_null(label, *xs):
+        """Same scan harness, same per-step inputs, trivial compute: the
+        fixed dispatch+readback cost (and any residual slice feed XLA cannot
+        narrow) that the matching stage measurement carries as overhead."""
+        def null_many(*xs):
+            def body(acc, x):
+                return acc + sum(jnp.ravel(xi)[0] for xi in x), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), xs)
+            return acc
+        return time_scan(label, null_many, *xs)
+
     results = {}
+    nulls = {}
 
     # ---- extract: one frame per step (engine caches keyframe features)
     def extract_many(variables, imgs):
@@ -193,8 +217,65 @@ def main():
     results["decoder"] = time_scan(
         "decoder", dec_many, variables, imgs, *enc_skips, bottoms)
 
-    total = sum(results.values())
-    print(f"{'sum of stages':>28}: {total:7.3f} ms/step", flush=True)
+    # ---- null harnesses: same scans, trivial bodies
+    print("\nnull (harness-only) baselines:", flush=True)
+    nulls["extract_1frame"] = time_null("null: extract inputs", imgs)
+    nulls["costvol"] = time_null(
+        "null: costvol inputs", f_half_all, ref_poses, meas_poses)
+    nulls["encoder"] = time_null(
+        "null: encoder inputs", f_half_all, f_quarter, f_eighth,
+        f_sixteenth, cvs)
+    nulls["lstm"] = time_null(
+        "null: lstm inputs", bottoms, ref_poses, full_depths)
+    nulls["decoder"] = time_null(
+        "null: decoder inputs", imgs, *enc_skips, bottoms)
+
+    # ---- the FUSED engine step, measured in the same process (same relay
+    # conditions): extract + costvol + encoder + splat/warp/LSTM + decoder
+    # with the full recurrent dependency, exactly bench.py's program
+    def fused_many(variables, K, imgs, ref_poses, meas_poses):
+        half_K = scale_intrinsics(K, 0.5)
+        f0 = model.apply(variables, imgs[0][None],
+                         method="extract_features")[0][0]
+
+        def body(state, x):
+            c, prev_depth, prev_pose, m1, m2 = state
+            r, rp, mp = x
+            rp = rp[None]
+            feats = model.apply(variables, r[None],
+                                method="extract_features")
+            hyp = splat_depth_max_strided(
+                prev_depth, prev_pose, rp, K, half_K, H // 32, W // 32, 16)
+            depths, c2 = model.apply(
+                variables, r[None], feats, jnp.stack([m1, m2])[None], rp,
+                mp[None], K, c, prev_pose, hyp, method="predict_depth")
+            return (c2, depths[0], rp, feats[0][0], m1), depths[0][0, 0, 0]
+
+        _, outs = jax.lax.scan(
+            body,
+            (carry0, jnp.zeros((B, H, W), jnp.float32),
+             ref_poses[0][None], f0, f0),
+            (imgs, ref_poses, meas_poses))
+        return outs
+
+    print("", flush=True)
+    fused = time_scan("FUSED full step", fused_many, variables, K, imgs,
+                      ref_poses, meas_poses)
+
+    # ---- reconciliation table
+    print(f"\n{'stage':>16} {'gross':>8} {'null':>8} {'net':>8}", flush=True)
+    for k in results:
+        print(f"{k:>16} {results[k]:8.3f} {nulls[k]:8.3f} "
+              f"{results[k] - nulls[k]:8.3f}", flush=True)
+    gross = sum(results.values())
+    harness = min(nulls.values())
+    net = sum(results[k] - nulls[k] for k in results)
+    print(f"\n{'sum of stages (gross)':>28}: {gross:7.3f} ms/step")
+    print(f"{'sum of stages (net)':>28}: {net:7.3f} ms/step")
+    print(f"{'net + one harness':>28}: {net + harness:7.3f} ms/step")
+    print(f"{'fused full step':>28}: {fused:7.3f} ms/step")
+    print(f"{'residual (fusion overlap)':>28}: "
+          f"{net + harness - fused:7.3f} ms/step", flush=True)
 
 
 if __name__ == "__main__":
