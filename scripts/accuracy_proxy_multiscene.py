@@ -237,14 +237,22 @@ def train_and_eval_seed(args, seed):
     pair_ckpt = select_best(glob.glob(os.path.join(runs, "pairnet", "*")))
     print("pairnet checkpoint:", pair_ckpt, flush=True)
 
+    # fusionnet gets its own (longer) epoch budget: its natural epoch is
+    # ~4x smaller than pairnet's (subsequences vs pairs — 32 steps vs 100+
+    # at the corpus defaults), and each stage-unfreeze transition shocks
+    # the loss (fresh Adam moments); the final full-unfreeze stage needs
+    # room to recover or the best-val selection degenerates to the
+    # barely-trained epoch-0 checkpoint
+    fusion_epochs = (args.fusion_epochs if args.fusion_epochs is not None
+                     else args.epochs)
     train_resilient(
         "fusionnet", os.path.join(runs, "fusionnet"),
         [sys.executable, "-m", "dvmvs_tpu.apps.run_training",
          "--model", "fusionnet", "--batch-size", str(args.fusion_batch),
          "--subsequence-length", str(args.subseq),
-         "--epochs", str(args.epochs), "--warm-start", pair_ckpt,
+         "--epochs", str(fusion_epochs), "--warm-start", pair_ckpt,
          "--run-directory", os.path.join(runs, "fusionnet")] + common,
-        target_epochs=args.epochs)
+        target_epochs=fusion_epochs)
     fusion_ckpt = select_best(glob.glob(os.path.join(runs, "fusionnet", "*")))
     print("fusionnet checkpoint:", fusion_ckpt, flush=True)
 
@@ -314,6 +322,9 @@ def main():
     ap.add_argument("--pair-batch", type=int, default=14)
     ap.add_argument("--fusion-batch", type=int, default=4)
     ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--fusion-epochs", type=int, default=None,
+                    help="fusionnet epoch budget (default: --epochs); its "
+                         "natural epochs are ~4x smaller than pairnet's")
     ap.add_argument("--max-steps", type=int, default=None,
                     help="cap optimizer steps per epoch (wall-clock budget)")
     ap.add_argument("--finetune-epochs", type=int, default=2,
