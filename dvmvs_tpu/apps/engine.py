@@ -66,6 +66,9 @@ class InferenceEngine:
         self._predict_fusion = jax.jit(self._predict_fusion_impl)
         self._fusion_step_batch = jax.jit(self._fusion_step_batch_impl)
         self._encode_predict = jax.jit(self._encode_predict_impl)
+        self._extract_scan = jax.jit(self._extract_scan_impl)
+        self._predict_pair_scan = jax.jit(self._predict_pair_scan_impl)
+        self._fusion_scan = jax.jit(self._fusion_scan_impl)
         self.reset()
 
     # ------------------------------------------------------------------ init
@@ -157,6 +160,66 @@ class InferenceEngine:
                 jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (batch, 1, 1)),
                 jnp.zeros((batch, self.H, self.W), jnp.float32),
                 jnp.zeros((batch,), jnp.float32))
+
+    # ------------------------------------------------- scanned bulk serving
+    # The per-batch bulk paths above dispatch one compiled program per
+    # keyframe batch (or per lockstep step) from Python — each dispatch pays
+    # a fixed host round-trip that dominates wall time at small B (the
+    # reference pays it per keyframe, fusionnet/run-testing.py:95-160).
+    # These variants fold T consecutive batches into ONE dispatch with
+    # jax.lax.scan over device-resident inputs: the unique-image array and
+    # the encoded feature bank stay on device and every step gathers its
+    # rows with jnp.take, so a whole scene chunk runs without touching the
+    # host. Numerics are identical to the per-dispatch paths (same jitted
+    # step math; tests/test_drivers_e2e.py pins scanned == per-dispatch).
+
+    def _extract_scan_impl(self, variables, images_tb):
+        """Encode a (T, B, H, W, 3) image stack into feature pyramids with
+        one dispatch: scan of the extractor over T batches of B."""
+        def body(_, imgs):
+            return None, self.model.apply(
+                variables, imgs, method="extract_features")
+        _, feats = jax.lax.scan(body, None, images_tb)
+        return feats  # tuple of (T, B, ...) per scale
+
+    def _gather_step_inputs(self, bank, images, x):
+        ref_feats = tuple(jnp.take(b, x["ref_idx"], axis=0) for b in bank)
+        meas_half = jnp.take(bank[0], x["meas_idx"], axis=0)
+        ref_images = jnp.take(images, x["ref_idx"], axis=0)
+        return ref_images, ref_feats, meas_half
+
+    def _predict_pair_scan_impl(self, variables, bank, images, K, xs):
+        """T stateless pairnet batches in one dispatch. ``xs``: dict of
+        per-step arrays — ref_idx (T,B) i32, meas_idx (T,B,V) i32,
+        ref_pose (T,B,4,4), meas_pose (T,B,V,4,4), view_mask (T,B,V).
+        Returns full-res depth (T, B, H, W)."""
+        def body(_, x):
+            ref_images, ref_feats, meas_half = self._gather_step_inputs(
+                bank, images, x)
+            depths = self.model.apply(
+                variables, ref_images, ref_feats, meas_half, x["ref_pose"],
+                x["meas_pose"], K, x["view_mask"], method="predict_depth")
+            return None, depths[0]
+        _, out = jax.lax.scan(body, None, xs)
+        return out
+
+    def _fusion_scan_impl(self, variables, bank, images, K, state, xs):
+        """T lockstep fusionnet steps over B independent scenes in one
+        dispatch. ``xs`` as in _predict_pair_scan_impl plus keep (T,B).
+        ``state`` threads across calls so a long scene can be split into
+        chunks (bounding per-dispatch readback) without breaking the
+        recurrence. Returns (new state, depth (T, B, H, W))."""
+        def body(state, x):
+            carry, prev_pose, prev_depth, has_prev = state
+            ref_images, ref_feats, meas_half = self._gather_step_inputs(
+                bank, images, x)
+            depth, carry, full = self._fusion_step_batch_impl(
+                variables, ref_images, ref_feats, meas_half, x["ref_pose"],
+                x["meas_pose"], K, x["view_mask"], carry, prev_pose,
+                prev_depth, has_prev, x["keep"])
+            return ((carry, x["ref_pose"], full, jnp.ones_like(has_prev)),
+                    depth)
+        return jax.lax.scan(body, state, xs)
 
     def _encode_predict_impl(self, variables, ref_image, meas_half,
                              ref_pose, meas_poses, K, view_mask,

@@ -163,13 +163,27 @@ def evaluate_scene_batched(
     mesh=None,
     evaluate: bool = True,
     max_frames: Optional[int] = None,
+    assets: Optional["SceneAssets"] = None,
+    scan_chunk: int = 0,
 ):
     """Throughput mode (pairnet only): pack B independent keyframes per
     dispatch, optionally sharded over a device mesh — multi-chip bulk
     evaluation with one compiled program. Unique scene images are encoded
     exactly once into a device-resident feature bank; keyframe batches
     gather from it with ``jnp.take``. The reference evaluates one keyframe
-    per forward on one GPU (pairnet/run-testing.py:95-160)."""
+    per forward on one GPU (pairnet/run-testing.py:95-160).
+
+    ``assets``: optionally pass a pre-built (and pre-warmed) SceneAssets
+    for the scene so repeated bulk evals — different models/batch sizes
+    over the same scene — skip the host decode+resize pass (the dominant
+    cost on weak hosts; see scripts/bench_serving_throughput.py).
+
+    ``scan_chunk`` > 0: fold that many consecutive keyframe batches into
+    ONE dispatch (jax.lax.scan over a device-resident image array +
+    feature bank, engine._predict_pair_scan) instead of one dispatch per
+    batch — removes the fixed per-dispatch host round-trip that bounds
+    wall throughput at small B. Single-device only (mesh must be None);
+    numerics identical to the per-dispatch path."""
     import time
 
     import jax
@@ -186,7 +200,8 @@ def evaluate_scene_batched(
     if not entries:
         return [], ([] if evaluate else None)
 
-    assets = SceneAssets(scene_folder, cfg, evaluate)
+    if assets is None:
+        assets = SceneAssets(scene_folder, cfg, evaluate)
     unique = list(dict.fromkeys(n for e in entries for n in e))
     updated_K = assets.updated_K
 
@@ -203,6 +218,61 @@ def evaluate_scene_batched(
 
     def pad_to(arr_list, n):
         return arr_list + [arr_list[-1]] * (n - len(arr_list))
+
+    if scan_chunk:
+        assert mesh is None, "scan_chunk is single-device (use per-batch " \
+                             "dispatch for mesh-sharded bulk eval)"
+        B = batch_size
+        t0 = time.perf_counter()
+        # unique images live on device once; every scanned step gathers its
+        # reference rows from here instead of shipping (B,H,W,3) per batch
+        pad_u = -(-len(unique) // B) * B
+        img_np = np.stack([assets.image(n) for n in pad_to(unique, pad_u)])
+        images = jnp.asarray(img_np)
+        feats = engine._extract_scan(
+            engine.variables, images.reshape((pad_u // B, B) + img_np.shape[1:]))
+        bank = tuple(f.reshape((pad_u,) + f.shape[2:]) for f in feats)
+        bank_index = {n: i for i, n in enumerate(unique)}
+
+        T = -(-len(entries) // B)
+        T_pad = -(-T // scan_chunk) * scan_chunk
+        packed = pad_to(list(entries), T_pad * B)
+        ref_idx = np.zeros((T_pad, B), np.int32)
+        meas_idx = np.zeros((T_pad, B, V), np.int32)
+        view_mask = np.zeros((T_pad, B, V), np.float32)
+        ref_pose = np.zeros((T_pad, B, 4, 4), np.float32)
+        meas_pose = np.zeros((T_pad, B, V, 4, 4), np.float32)
+        for i, e in enumerate(packed):
+            t, bi = divmod(i, B)
+            names = list(e[1:])[:V]
+            view_mask[t, bi, :len(names)] = 1.0
+            names = pad_to(names, V)
+            ref_idx[t, bi] = bank_index[e[0]]
+            meas_idx[t, bi] = [bank_index[n] for n in names]
+            ref_pose[t, bi] = assets.pose(e[0])
+            meas_pose[t, bi] = [assets.pose(n) for n in names]
+        K_b = jnp.tile(jnp.asarray(updated_K)[None], (B, 1, 1))
+
+        depths = []
+        for c in range(0, T_pad, scan_chunk):
+            xs = dict(
+                ref_idx=jnp.asarray(ref_idx[c:c + scan_chunk]),
+                meas_idx=jnp.asarray(meas_idx[c:c + scan_chunk]),
+                view_mask=jnp.asarray(view_mask[c:c + scan_chunk]),
+                ref_pose=jnp.asarray(ref_pose[c:c + scan_chunk]),
+                meas_pose=jnp.asarray(meas_pose[c:c + scan_chunk]))
+            out = engine._predict_pair_scan(
+                engine.variables, bank, images, K_b, xs)
+            depths.append(np.asarray(out).reshape(-1, *out.shape[2:]))
+        predictions = list(np.concatenate(depths)[:len(entries)])
+        reference_depths = None
+        if assets.depth_filenames is not None:
+            reference_depths = [assets.gt_depth(e[0]) for e in entries]
+        dt = time.perf_counter() - t0
+        print(f"batched eval: {len(entries)} keyframes in {dt:.2f}s "
+              f"({len(entries) / dt:.1f} images/s, batch {batch_size}, "
+              f"scan {scan_chunk})")
+        return predictions, reference_depths
 
     # ---- device: encode the unique images in batches into a feature bank
     t0 = time.perf_counter()
@@ -266,6 +336,8 @@ def evaluate_scenes_batched_fusion(
     mesh=None,
     evaluate: bool = True,
     max_frames: Optional[int] = None,
+    asset_cache: Optional[Dict[str, "SceneAssets"]] = None,
+    scan_chunk: int = 0,
 ):
     """Scene-parallel fusionnet bulk eval: B INDEPENDENT scenes advance in
     lockstep, one batched recurrent step per dispatch, optionally sharded
@@ -275,7 +347,17 @@ def evaluate_scenes_batched_fusion(
     ``TRACKING LOST`` becomes a per-scene keep-mask zeroing that scene's
     carry before its next step — identical semantics to the sequential
     driver's engine.reset(). ``jobs``: list of (scene_folder, index_file).
-    Returns a list of (predictions, gts) aligned with jobs."""
+    Returns a list of (predictions, gts) aligned with jobs.
+
+    ``asset_cache``: optional dict keyed by abspath(scene_folder) that
+    SceneAssets are reused from / inserted into, so repeated bulk evals
+    over the same scenes skip the host decode+resize pass.
+
+    ``scan_chunk`` > 0: fold that many lockstep steps into ONE dispatch
+    (jax.lax.scan threading the recurrent state, engine._fusion_scan)
+    instead of one dispatch per step — the recurrent state never leaves
+    the device and the fixed per-dispatch host round-trip is paid once
+    per chunk. Single-device only; numerics identical."""
     import time
 
     import jax
@@ -316,9 +398,14 @@ def evaluate_scenes_batched_fusion(
             steps = steps[:max_frames]
         unique = list(dict.fromkeys(
             n for (_, r, ms) in steps for n in [r] + list(ms)))
-        sdata.append(dict(
-            steps=steps, unique=unique,
-            assets=SceneAssets(scene_folder, cfg, evaluate)))
+        akey = os.path.abspath(scene_folder)
+        if asset_cache is not None and akey in asset_cache:
+            scene_assets = asset_cache[akey]
+        else:
+            scene_assets = SceneAssets(scene_folder, cfg, evaluate)
+            if asset_cache is not None:
+                asset_cache[akey] = scene_assets
+        sdata.append(dict(steps=steps, unique=unique, assets=scene_assets))
 
     # a scene with no usable keyframes (empty index / only TRACKING LOST /
     # --max-frames 0) yields empty results; its batch row replays a live
@@ -328,6 +415,11 @@ def evaluate_scenes_batched_fusion(
         return [([], [] if evaluate else None) for _ in jobs]
     eff_of = [scene_of[si] if sdata[scene_of[si]]["steps"] else live[0]
               for si in range(B)]
+
+    if scan_chunk:
+        return _fusion_eval_scanned(
+            engine, jobs, cfg, sdata, scene_of, eff_of, live, scan_chunk,
+            mesh)
 
     sharding = None
     if mesh is not None:
@@ -414,6 +506,98 @@ def evaluate_scenes_batched_fusion(
     return results
 
 
+def _fusion_eval_scanned(engine, jobs, cfg, sdata, scene_of, eff_of, live,
+                         scan_chunk, mesh):
+    """Scanned body of evaluate_scenes_batched_fusion (scan_chunk > 0): all
+    per-step inputs are packed host-side into (T, B, ...) index/pose arrays
+    once, the unique images + feature bank live on device, and the lockstep
+    recurrence advances ``scan_chunk`` steps per dispatch with the state
+    threaded through jax.lax.scan chunks."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    assert mesh is None, "scan_chunk is single-device (use per-step " \
+                         "dispatch for mesh-sharded bulk eval)"
+    B = len(jobs)
+    V = cfg.n_measurement_frames
+    t0 = time.perf_counter()
+
+    # flat (unique scene, name) image array on device + one-dispatch encode
+    flat = [(uj, n) for uj in range(len(sdata)) for n in sdata[uj]["unique"]]
+    bank_index = {key: gi for gi, key in enumerate(flat)}
+    pad_u = -(-len(flat) // B) * B
+    flat_p = flat + [flat[-1]] * (pad_u - len(flat))
+    img_np = np.stack([sdata[uj]["assets"].image(n) for uj, n in flat_p])
+    images = jnp.asarray(img_np)
+    feats = engine._extract_scan(
+        engine.variables, images.reshape((pad_u // B, B) + img_np.shape[1:]))
+    bank = tuple(f.reshape((pad_u,) + f.shape[2:]) for f in feats)
+
+    max_steps = max(len(sdata[u]["steps"]) for u in live)
+    T_pad = -(-max_steps // scan_chunk) * scan_chunk
+    ref_idx = np.zeros((T_pad, B), np.int32)
+    meas_idx = np.zeros((T_pad, B, V), np.int32)
+    view_mask = np.zeros((T_pad, B, V), np.float32)
+    ref_pose = np.zeros((T_pad, B, 4, 4), np.float32)
+    meas_pose = np.zeros((T_pad, B, V, 4, 4), np.float32)
+    keep = np.ones((T_pad, B), np.float32)
+    for t in range(T_pad):
+        for si in range(B):
+            u = eff_of[si]
+            s = sdata[u]
+            a = s["assets"]
+            # steps past a scene's end replay its last entry (keep=1):
+            # well-formed compute whose outputs are dropped below
+            reset, ref, ms = s["steps"][min(t, len(s["steps"]) - 1)]
+            if t < len(s["steps"]) and reset:
+                keep[t, si] = 0.0
+            names = list(ms)[:V]
+            view_mask[t, si, :len(names)] = 1.0
+            names = names + [names[0]] * (V - len(names))
+            ref_idx[t, si] = bank_index[(u, ref)]
+            meas_idx[t, si] = [bank_index[(u, n)] for n in names]
+            ref_pose[t, si] = a.pose(ref)
+            meas_pose[t, si] = [a.pose(n) for n in names]
+    K_b = jnp.asarray(np.stack(
+        [sdata[eff_of[si]]["assets"].updated_K for si in range(B)]))
+
+    results = [
+        ([], [] if sdata[scene_of[si]]["assets"].depth_filenames is not None
+         else None)
+        for si in range(B)]
+    state = engine.init_batch_state(B)
+    n_predicted = 0
+    for c in range(0, T_pad, scan_chunk):
+        xs = dict(
+            ref_idx=jnp.asarray(ref_idx[c:c + scan_chunk]),
+            meas_idx=jnp.asarray(meas_idx[c:c + scan_chunk]),
+            view_mask=jnp.asarray(view_mask[c:c + scan_chunk]),
+            ref_pose=jnp.asarray(ref_pose[c:c + scan_chunk]),
+            meas_pose=jnp.asarray(meas_pose[c:c + scan_chunk]),
+            keep=jnp.asarray(keep[c:c + scan_chunk]))
+        state, out = engine._fusion_scan(
+            engine.variables, bank, images, K_b, state, xs)
+        depth = np.asarray(out)
+        for dt_i in range(depth.shape[0]):
+            t = c + dt_i
+            for si in range(B):
+                own = sdata[scene_of[si]]
+                if t >= len(own["steps"]):
+                    continue
+                results[si][0].append(depth[dt_i, si])
+                n_predicted += 1
+                if results[si][1] is not None:
+                    _, ref, _ = own["steps"][t]
+                    results[si][1].append(own["assets"].gt_depth(ref))
+
+    dt = time.perf_counter() - t0
+    print(f"scene-batched eval: {n_predicted} keyframes over {B} scenes in "
+          f"{dt:.2f}s ({n_predicted / dt:.1f} images/s, scan {scan_chunk})")
+    return results
+
+
 def main():
     from dvmvs_tpu.utils.jax_setup import setup_jax
 
@@ -439,6 +623,11 @@ def main():
                          "scenes in lockstep, one batched recurrent step "
                          "per dispatch (scenes are the parallel axis of "
                          "the recurrent model)")
+    ap.add_argument("--scan-chunk", type=int, default=0,
+                    help="with --batch-size/--scene-batch: fold this many "
+                         "batches/steps into one dispatch via lax.scan "
+                         "(device-resident image+feature bank; removes the "
+                         "per-dispatch host round-trip; single-device only)")
     ap.add_argument("--width", type=int, default=None,
                     help="test image width (default: config default)")
     ap.add_argument("--height", type=int, default=None,
@@ -506,7 +695,8 @@ def main():
                   f"{len(index_files)} (lockstep batch {SB})")
             results = evaluate_scenes_batched_fusion(
                 engine, jobs, cfg, mesh=mesh,
-                evaluate=not args.no_evaluate, max_frames=args.max_frames)
+                evaluate=not args.no_evaluate, max_frames=args.max_frames,
+                scan_chunk=args.scan_chunk)
             for f, (predictions, gts) in list(zip(group_files, results))[:n_real]:
                 _, scene_name, system_name = parse_job(f)
                 save_results(predictions, gts, system_name, scene_name,
@@ -520,7 +710,7 @@ def main():
             predictions, gts = evaluate_scene_batched(
                 engine, scene_folder, index_file, cfg, args.batch_size,
                 mesh=mesh, evaluate=not args.no_evaluate,
-                max_frames=args.max_frames)
+                max_frames=args.max_frames, scan_chunk=args.scan_chunk)
         else:
             predictions, gts = evaluate_scene(
                 engine, scene_folder, index_file, cfg,

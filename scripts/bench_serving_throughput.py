@@ -52,6 +52,22 @@ def main():
     ap.add_argument("--json", default=None, help="write results here too")
     ap.add_argument("--scene", default=SCENE)
     ap.add_argument("--index", default=INDEX)
+    ap.add_argument("--scan", type=int, default=0,
+                    help="target keyframes per dispatch via the drivers' "
+                         "scan_chunk (lax.scan over a device-resident "
+                         "image+feature bank; removes the per-dispatch "
+                         "host round-trip that bounds small-B wall "
+                         "throughput). Per point the chunk is "
+                         "max(1, scan//B) so dispatch granularity stays "
+                         "~constant across the B sweep")
+    ap.add_argument("--warm", action="store_true",
+                    help="pre-decode all scene frames into a shared "
+                         "SceneAssets before timing, so reps don't repay "
+                         "the host decode+resize pass (~3s/scene, measured "
+                         "~130 frames/s on this host). Measured warm-vs-"
+                         "cold deltas are within the relay's +-40%% timing "
+                         "drift: the small-B bound is the per-dispatch "
+                         "relay round-trip, not host decode")
     args = ap.parse_args()
 
     from dvmvs_tpu.apps.engine import InferenceEngine
@@ -62,25 +78,42 @@ def main():
     cfg = TestConfig()
     n_kf = count_keyframes(args.index)
     results = {"keyframes": n_kf, "resolution":
-               [cfg.image_width, cfg.image_height], "points": []}
+               [cfg.image_width, cfg.image_height],
+               "warm_assets": args.warm, "scan_chunk": args.scan,
+               "points": []}
     print(f"scene: {args.scene} ({n_kf} keyframes), "
-          f"{cfg.image_width}x{cfg.image_height}, reps={args.reps}")
+          f"{cfg.image_width}x{cfg.image_height}, reps={args.reps}, "
+          f"assets={'warm' if args.warm else 'cold'}, scan={args.scan}")
+
+    assets = cache = None
+    if args.warm:
+        from dvmvs_tpu.apps.run_testing import SceneAssets
+        assets = SceneAssets(args.scene, cfg, evaluate=False)
+        t0 = time.perf_counter()
+        for name in assets.image_filenames:
+            assets.image(name)
+        print(f"  pre-decoded {len(assets.image_filenames)} frames in "
+              f"{time.perf_counter() - t0:.1f}s (host, excluded from "
+              f"timing below)")
+        cache = {os.path.abspath(args.scene): assets}
 
     for kind, runner in (("pairnet", "batch"), ("fusionnet", "scenes")):
         engine = InferenceEngine(kind, cfg)
         for B in args.batch_sizes:
+            chunk = max(1, args.scan // B) if args.scan else 0
             best = None
             for _ in range(args.reps):
                 t0 = time.perf_counter()
                 if runner == "batch":
                     preds, _ = evaluate_scene_batched(
                         engine, args.scene, args.index, cfg, batch_size=B,
-                        evaluate=False)
+                        evaluate=False, assets=assets, scan_chunk=chunk)
                     n = len(preds)
                 else:
                     out = evaluate_scenes_batched_fusion(
                         engine, [(args.scene, args.index)] * B, cfg,
-                        evaluate=False)
+                        evaluate=False, asset_cache=cache,
+                        scan_chunk=chunk)
                     n = sum(len(p) for p, _ in out)
                 dt = time.perf_counter() - t0
                 assert n == n_kf * (1 if runner == "batch" else B), n

@@ -362,3 +362,110 @@ def test_scene_assets_cache_bounded(png_scene, tiny_cfg):
         np.testing.assert_array_equal(a.image(n), want)
     assert a.image(names[-1]) is a.image(names[-1])  # cache hit
     assert a.gt_depth(names[0]).shape == first_pass[0].shape[:2]
+
+
+@pytest.mark.heavy
+def test_batched_eval_with_prewarmed_assets(png_scene, tiny_cfg):
+    """Passing a pre-built SceneAssets / asset_cache into the batched
+    evaluators (the warm path of scripts/bench_serving_throughput.py)
+    must reproduce the cold-path predictions and actually reuse the
+    caller's objects (no re-decode of the scene)."""
+    from dvmvs_tpu.apps.engine import InferenceEngine
+    from dvmvs_tpu.apps.run_testing import (
+        SceneAssets,
+        evaluate_scene_batched,
+        evaluate_scenes_batched_fusion,
+    )
+
+    scene = os.path.join(png_scene, "tinyset", "000")
+    indices_dir = os.path.join(png_scene, "indices_warm")
+    os.makedirs(indices_dir, exist_ok=True)
+    idx = os.path.join(indices_dir, "keyframe+tinyset+000+nmeas+2")
+    with open(idx, "w") as f:
+        f.write("00002.png 00001.png 00000.png\n")
+        f.write("00004.png 00003.png 00002.png\n")
+
+    engine = InferenceEngine("pairnet", tiny_cfg)
+    cold, _ = evaluate_scene_batched(
+        engine, scene, idx, tiny_cfg, batch_size=2, evaluate=False)
+    assets = SceneAssets(scene, tiny_cfg, evaluate=False)
+    for n in assets.image_filenames:
+        assets.image(n)
+    n_cached = len(assets._cache)
+    warm, _ = evaluate_scene_batched(
+        engine, scene, idx, tiny_cfg, batch_size=2, evaluate=False,
+        assets=assets)
+    assert len(assets._cache) == n_cached  # nothing re-decoded
+    for c, w in zip(cold, warm):
+        np.testing.assert_allclose(w, c, atol=1e-6)
+
+    engine = InferenceEngine("fusionnet", tiny_cfg)
+    cold = evaluate_scenes_batched_fusion(
+        engine, [(scene, idx)], tiny_cfg, evaluate=False)
+    cache = {os.path.abspath(scene): assets}
+    warm = evaluate_scenes_batched_fusion(
+        engine, [(scene, idx)], tiny_cfg, evaluate=False,
+        asset_cache=cache)
+    assert cache[os.path.abspath(scene)] is assets  # reused, not replaced
+    for c, w in zip(cold[0][0], warm[0][0]):
+        np.testing.assert_allclose(w, c, atol=1e-6)
+
+
+@pytest.mark.heavy
+def test_scanned_bulk_eval_matches_per_dispatch(png_scene, tiny_cfg):
+    """scan_chunk > 0 folds T batches/steps into one lax.scan dispatch
+    over a device-resident image+feature bank (engine._predict_pair_scan /
+    _fusion_scan). Predictions must match the per-dispatch bulk paths,
+    covering: a padded partial final batch, a chunk that splits the scan
+    (recurrent state threaded across dispatches), a chunk larger than T
+    (scan-side padding), a single-view entry, and a TRACKING LOST reset."""
+    from dvmvs_tpu.apps.engine import InferenceEngine
+    from dvmvs_tpu.apps.run_testing import (
+        evaluate_scene_batched,
+        evaluate_scenes_batched_fusion,
+    )
+
+    scene = os.path.join(png_scene, "tinyset", "000")
+    indices_dir = os.path.join(png_scene, "indices_scan")
+    os.makedirs(indices_dir, exist_ok=True)
+    idx_a = os.path.join(indices_dir, "keyframe+tinyset+000+nmeas+2")
+    with open(idx_a, "w") as f:
+        f.write("00002.png 00001.png 00000.png\n")
+        f.write("00004.png 00003.png 00002.png\n")
+        f.write("00006.png 00005.png\n")          # 1 measurement view
+        f.write("TRACKING LOST\n")
+        f.write("00008.png 00007.png 00006.png\n")
+        f.write("00009.png 00008.png 00007.png\n")
+    idx_b = os.path.join(indices_dir, "keyframe+tinyset+001+nmeas+2")
+    with open(idx_b, "w") as f:
+        f.write("00001.png 00000.png\n")
+        f.write("00003.png 00002.png 00001.png\n")
+        f.write("00005.png 00004.png 00003.png\n")
+
+    # pairnet: 5 keyframes, B=2 -> T=3 batches (last padded);
+    # chunk 2 splits the scan, chunk 8 pads it
+    engine = InferenceEngine("pairnet", tiny_cfg)
+    base, base_gts = evaluate_scene_batched(
+        engine, scene, idx_a, tiny_cfg, batch_size=2)
+    for chunk in (2, 8):
+        scanned, gts = evaluate_scene_batched(
+            engine, scene, idx_a, tiny_cfg, batch_size=2, scan_chunk=chunk)
+        assert len(scanned) == len(base) == 5
+        assert len(gts) == len(base_gts)
+        for s, b in zip(base, scanned):
+            np.testing.assert_allclose(b, s, atol=1e-5)
+
+    # fusionnet: 2 scenes, different lengths + a reset; chunk 2 threads the
+    # carry across dispatches, chunk 16 pads past both scene ends
+    engine = InferenceEngine("fusionnet", tiny_cfg)
+    base = evaluate_scenes_batched_fusion(
+        engine, [(scene, idx_a), (scene, idx_b)], tiny_cfg)
+    for chunk in (2, 16):
+        scanned = evaluate_scenes_batched_fusion(
+            engine, [(scene, idx_a), (scene, idx_b)], tiny_cfg,
+            scan_chunk=chunk)
+        for (bp, bg), (sp, sg) in zip(base, scanned):
+            assert len(bp) == len(sp)
+            assert (bg is None) == (sg is None)
+            for s, b in zip(bp, sp):
+                np.testing.assert_allclose(b, s, atol=1e-5)
