@@ -73,6 +73,29 @@ def test_trajectory_statistics_match_video():
         assert np.linalg.det(R) > 0.99
 
 
+def test_pinned_render_digest():
+    """Cross-RUN determinism: the proxy corpus is regenerated between
+    sandbox resets (it is gitignored), and multi-seed comparability in
+    proxy_ms_report.json requires regeneration to be bit-identical. The
+    in-process test below can't catch a library upgrade changing the
+    renderer's output; this pins one small frame to a recorded digest
+    (scripts/corpus_fingerprint.py checks whole corpora the same way)."""
+    import hashlib
+
+    s = SynthScene(5)
+    poses = s.trajectory(2)
+    K = default_K(64, 48)
+    rgb, d = s.render(poses[1], K, 64, 48)
+    h = hashlib.sha256()
+    for a in (poses, rgb, d):
+        a = np.ascontiguousarray(a)
+        h.update(str(a.dtype).encode())
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes())
+    assert h.hexdigest() == (
+        "af8ea50cccb607bf8d97bec01387f2da6e8b142cf5c10cbbec924fd53b5403bc")
+
+
 def test_determinism():
     a = SynthScene(5)
     b = SynthScene(5)
