@@ -170,6 +170,42 @@ def main():
          f"permutation test (all sign flips) on the {n_sc} per-(seed, "
          f"scene) mean deltas, the honest significance level.")
 
+    # ---- temporal stability appendix ----
+    # The LSTM's designed-for property is smoothness ACROSS keyframes
+    # (reference fusionnet/model.py:308-337 carries hidden state between
+    # frames; pairnet predicts each keyframe independently). Proxy: the mean
+    # absolute frame-to-frame delta of each per-keyframe metric along the
+    # scene's keyframe sequence — lower = the error trace flickers less.
+    # This is a *weak* proxy (true consistency needs the predicted depths,
+    # which the run dirs no longer hold), reported with the same paired
+    # scene-level statistics as the main table.
+    emit()
+    emit("### Appendix: temporal stability of the per-keyframe error trace")
+    emit()
+    emit("| metric | pairnet mean \\|Δ\\| | fusionnet | gain % | "
+         "scenes better | scene perm p |")
+    emit("|---|---|---|---|---|---|")
+    for i, name in enumerate(METRICS[:5]):  # magnitude metrics only
+        dp, df = [], []
+        for s in seed_names:
+            for sc in sorted(seeds[s]["pairnet"]):
+                a = seeds[s]["pairnet"][sc][:, i]
+                b = seeds[s]["fusionnet"][sc][:, i]
+                dp.append(np.nanmean(np.abs(np.diff(a))))
+                df.append(np.nanmean(np.abs(np.diff(b))))
+        dp, df = np.array(dp), np.array(df)
+        d = dp - df  # >0 = fusion smoother
+        gain = (dp.mean() - df.mean()) / max(dp.mean(), 1e-9) * 100
+        emit(f"| {name} | {dp.mean():.4f} | {df.mean():.4f} | "
+             f"{gain:+.1f}% | {int((d > 0).sum())}/{len(d)} | "
+             f"{paired_permutation_p(d):.3f} |")
+    emit()
+    emit("Same pattern as the main table — fusion's error trace is "
+         "smoother in the mean on the relative metrics (driven by the "
+         "scenes where it wins outright) but scene-level sign consistency "
+         "is ~chance, so no temporal-stability claim survives the "
+         "permutation test either.")
+
     if args.markdown:
         os.makedirs(os.path.dirname(args.markdown) or ".", exist_ok=True)
         with open(args.markdown, "w") as f:
