@@ -15,8 +15,8 @@ INPUTS (a realistic SE(3) random walk with keyframe-like spacing), not
 closure constants — so the cost-volume band selection
 (ops/cost_volume.py span switch), plane matrices, splat and hidden-warp
 grids are all computed at runtime per frame, exactly as in the online
-driver. The JSON also reports the trajectory's band-8/band-16/gather hit
-rates and an MFU estimate from XLA's compiled flop count.
+driver. The JSON also reports the trajectory's band-tier / dynamic-trip
+hit rates and an MFU estimate from XLA's compiled flop count.
 
 Baseline: the reference system's poster reports ~25-35 FPS at 320x256 on an
 unspecified GPU (BASELINE.md); vs_baseline is against 30 FPS.
@@ -134,9 +134,9 @@ def pose_pairs_from_walk(traj, n_views=2):
 
 
 def band_hit_rates(ref_poses, meas_poses, K, H, W, n_levels, min_d, max_d):
-    """Fraction of steps taking each band tier / the gather path (the
-    lax.switch ladder in ops/cost_volume.py). Returns (tiers, rates) with
-    rates[len(tiers)] = gather."""
+    """Fraction of steps taking each band tier / the dynamic-trip kernel
+    (the lax.switch ladder in ops/cost_volume.py::cost_volume_fused).
+    Returns (tiers, rates) with rates[len(tiers)] = dyn (the last rung)."""
     import jax
     import jax.numpy as jnp
 
@@ -314,15 +314,18 @@ def main():
     tiers, rates = band_hit_rates(
         mixed[0], mixed[1], K_np, H, W,
         model.n_depth_levels, model.min_depth, model.max_depth)
+    # the inference ladder's last rung is the dynamic-trip Pallas kernel
+    # (ops/cost_volume.py::cost_volume_fused dyn_branch) — XLA gather is
+    # unreachable on TPU with method='auto', so there is no gather_rate
     for b, r in zip(tiers, rates):
         extras[f"band{b}_rate"] = round(r, 3)
-    extras["gather_rate"] = round(rates[-1], 3)
+    extras["dyn_rate"] = round(rates[-1], 3)
     _, hard_rates = band_hit_rates(
         hard[0], hard[1], K_np, H, W,
         model.n_depth_levels, model.min_depth, model.max_depth)
     for b, r in zip(tiers, hard_rates):
         extras[f"hard_band{b}_rate"] = round(r, 3)
-    extras["hard_gather_rate"] = round(hard_rates[-1], 3)
+    extras["hard_dyn_rate"] = round(hard_rates[-1], 3)
     try:
         # XLA's cost analysis does NOT count custom-call (Pallas) flops; the
         # banded kernel's dominant matmul is 2*band*C*W^2 MACs per

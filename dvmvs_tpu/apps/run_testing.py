@@ -96,6 +96,7 @@ def evaluate_scene(
     cfg: TestConfig,
     evaluate: bool = True,
     max_frames: Optional[int] = None,
+    cache_features: int = 384,
 ):
     with open(index_file) as f:
         lines = [l for l in f.read().splitlines() if l]
@@ -104,7 +105,16 @@ def evaluate_scene(
 
     predictions = []
     reference_depths = [] if assets.depth_filenames is not None else None
+    # BOUNDED device-side LRU of half-res measurement features, mirroring
+    # the host frame cache in SceneAssets: one entry is ~2.6 MB f32 at
+    # 320x256, and a long ScanNet scene can reference thousands of distinct
+    # measurement frames — unbounded, that pins GBs of HBM next to the
+    # model. 384 entries ~= 1 GB. The keyframe heuristic reuses only a
+    # ~30-frame window of recent measurements, so evictions are cold in
+    # practice; a re-encoded frame yields bit-identical features (the
+    # encoder is deterministic), so results do not depend on the cap.
     feature_cache: Dict[str, object] = {}
+    feature_order: list = []
     timer = InferenceTimer()
 
     engine.reset()
@@ -126,9 +136,14 @@ def evaluate_scene(
 
         meas_half, meas_poses = [], []
         for m in meas_names:
-            if m not in feature_cache:
-                feature_cache[m] = engine.encode(assets.image(m))[0]
-            meas_half.append(feature_cache[m])
+            hit = feature_cache.get(m)
+            if hit is None:
+                hit = engine.encode(assets.image(m))[0]
+                if len(feature_order) >= cache_features:
+                    feature_cache.pop(feature_order.pop(0), None)
+                feature_cache[m] = hit
+                feature_order.append(m)
+            meas_half.append(hit)
             meas_poses.append(assets.pose(m))
 
         depth = engine.predict(

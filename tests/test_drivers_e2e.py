@@ -364,6 +364,50 @@ def test_scene_assets_cache_bounded(png_scene, tiny_cfg):
     assert a.gt_depth(names[0]).shape == first_pass[0].shape[:2]
 
 
+def test_feature_cache_bounded(png_scene, tiny_cfg):
+    """evaluate_scene caps its device-side measurement-feature cache the
+    same way SceneAssets caps its host frame cache: on a long scene with
+    more distinct measurement frames than the cap, evictions must occur
+    (visible as re-encodes) and predictions must be identical to an
+    unbounded run — the encoder is deterministic, so a re-encoded frame
+    yields bit-identical features. (The reference streams per-frame with no
+    cache at all: dvmvs/fusionnet/run-testing.py:95-108.)"""
+    from dvmvs_tpu.apps.engine import InferenceEngine
+    from dvmvs_tpu.apps.run_testing import evaluate_scene
+
+    scene = os.path.join(png_scene, "tinyset", "000")
+    # 8 keyframes x 2 measurements: one measurement is fresh per line, the
+    # other (frame valid[0]) is shared by every line — an unbounded cache
+    # encodes it once, a 2-entry cache keeps evicting and re-encoding it
+    valid = [i for i in range(N_FRAMES)
+             if not (LOST_START <= i < LOST_END)][:18]
+    idx = os.path.join(png_scene, "idx_longscene")
+    with open(idx, "w") as f:
+        for j in range(2, 18, 2):
+            f.write(f"{valid[j]:05d}.png {valid[j - 1]:05d}.png "
+                    f"{valid[0]:05d}.png\n")
+
+    engine = InferenceEngine("pairnet", tiny_cfg)
+    encode_calls = []
+    real_encode = engine.encode
+    engine.encode = lambda img: (encode_calls.append(1) or
+                                 real_encode(img))
+
+    preds_unbounded, _ = evaluate_scene(
+        engine, scene, idx, tiny_cfg, evaluate=False, cache_features=64)
+    n_unbounded = len(encode_calls)
+
+    encode_calls.clear()
+    preds_capped, _ = evaluate_scene(
+        engine, scene, idx, tiny_cfg, evaluate=False, cache_features=2)
+    n_capped = len(encode_calls)
+
+    assert n_capped > n_unbounded  # evictions really happened
+    assert len(preds_capped) == len(preds_unbounded) == 8
+    for a, b in zip(preds_unbounded, preds_capped):
+        np.testing.assert_array_equal(a, b)
+
+
 @pytest.mark.heavy
 def test_batched_eval_with_prewarmed_assets(png_scene, tiny_cfg):
     """Passing a pre-built SceneAssets / asset_cache into the batched
