@@ -219,27 +219,34 @@ def plane_sweep_cost_volume_train(
     plane_chunk: int = 8,
     method: str | None = None,
 ):
-    """Differentiable plane sweep with runtime path selection: the smallest
-    band tier whose y-span check passes (cost is linear in the band height;
-    real keyframe geometry routinely needs 16-64 source rows, docs/PERF.md),
-    gather under extreme rotation. All branches are differentiable;
-    lax.switch executes one.
+    """Differentiable plane sweep with PER-ELEMENT runtime path selection:
+    each batch element independently takes the smallest band tier whose
+    y-span check passes (cost is linear in the band height; real keyframe
+    geometry routinely needs 16-64 source rows, docs/PERF.md), or the
+    dynamic-trip kernel under extreme rotation. All branches are
+    differentiable; lax.switch inside the batch map executes one per
+    element.
 
-    The banded tiers run the Pallas kernel with its custom-VJP backward
-    kernel (ops/pallas/cost_volume_vjp.py) — training rides the same MXU
-    band matmuls as inference, replacing the XLA einsum ladder
-    (plane_sweep_cost_volume_banded, kept as a conformance oracle).
+    Every rung runs Pallas forward AND backward (custom-VJP kernels,
+    ops/pallas/cost_volume_vjp.py) — training rides the same MXU band
+    matmuls as inference and never falls back to the XLA gather path
+    (fallback rates measured in docs/train_fallback.json; the gather
+    ladder OOMed a 16 GB chip without remat and is ~2x slower).
 
     method: 'auto' (Pallas VJP ladder on TPU, gather elsewhere),
     'pallas_interpret' (the Pallas ladder in interpret mode — CPU
-    conformance tests), 'gather', 'xla_banded' (the round-2 einsum ladder).
+    conformance tests), 'gather', 'xla_banded' (the round-2 einsum ladder,
+    batch-level switch — kept as a benchmarking oracle).
     """
     from dvmvs_tpu.ops.pallas.cost_volume_kernel import (
         BAND_TIERS,
         build_plane_matrices,
         max_row_spans,
     )
-    from dvmvs_tpu.ops.pallas.cost_volume_vjp import make_diff_plane_sweep
+    from dvmvs_tpu.ops.pallas.cost_volume_vjp import (
+        make_diff_plane_sweep,
+        make_diff_plane_sweep_dyn,
+    )
 
     if method is None:
         method = TRAIN_CV_METHOD
@@ -256,36 +263,57 @@ def plane_sweep_cost_volume_train(
         ref_pose, meas_pose, K, inv_depths)
     tiers = [b for b in BAND_TIERS if b <= H]
     # NO column tiling in the training ladder: the span check must stay in
-    # sync with the kernels, and at training shapes the untiled tiers
-    # already keep >90% of steps off the gather rung.
+    # sync with the kernels (the VJP kernels are untiled).
     spans = jax.vmap(
         lambda m: jnp.stack(max_row_spans(m, H, W, tuple(tiers))))(Ms)
-    tier_span = [jnp.max(spans[..., i]) for i in range(len(tiers))]
 
-    def banded(band_h):
-        if method == "xla_banded":
+    if method == "xla_banded":
+        # benchmarking oracle for the round-2 einsum ladder: batch-level
+        # switch, gather last rung (the historical behavior)
+        tier_span = [jnp.max(spans[..., i]) for i in range(len(tiers))]
+
+        def banded(band_h):
             def branch():
                 return plane_sweep_cost_volume_banded(
                     ref_feat, meas_feat, ref_pose, meas_pose, K,
                     min_depth, max_depth, n_depth_levels, band_h, plane_chunk)
             return branch
 
-        def branch():
+        def gather():
+            return plane_sweep_cost_volume(
+                ref_feat, meas_feat, ref_pose, meas_pose, K,
+                min_depth, max_depth, n_depth_levels, plane_chunk=plane_chunk)
+
+        index = jnp.full((), len(tiers), jnp.int32)
+        for i in range(len(tiers) - 1, -1, -1):
+            index = jnp.where(tier_span[i] <= tiers[i], i, index)
+        return jax.lax.switch(index, [banded(b) for b in tiers] + [gather])
+
+    # PER-ELEMENT tier switch inside the batch map: one rotation-heavy pair
+    # no longer drags the whole batch to a large band (measured on the
+    # proxy training streams: the batch-max decision lands on gather 19%
+    # of fusionnet scan steps and 52% of pairnet directions, while
+    # per-element rates are ~5% — docs/train_fallback.json). The last rung
+    # is the dynamic-trip Pallas VJP pair, so training NEVER falls back to
+    # the XLA gather path (which OOMed without remat and measured ~2x
+    # slower); cost per element tracks its own geometry.
+    dyn = make_diff_plane_sweep_dyn(interpret)
+
+    def one_elem(t):
+        rf, mf, M, sp = t
+
+        def tier_branch(band_h):
             f = make_diff_plane_sweep(band_h, interpret)
-            cost = jax.lax.map(
-                lambda t: f(t[0], t[1], t[2]), (ref_feat, meas_feat, Ms))
-            return cost.transpose(0, 2, 3, 1)  # (B, H, W, P)
-        return branch
+            return lambda: f(rf, mf, M)
 
-    def gather():
-        return plane_sweep_cost_volume(
-            ref_feat, meas_feat, ref_pose, meas_pose, K,
-            min_depth, max_depth, n_depth_levels, plane_chunk=plane_chunk)
+        idx = jnp.full((), len(tiers), jnp.int32)
+        for i in range(len(tiers) - 1, -1, -1):
+            idx = jnp.where(sp[i] <= tiers[i], i, idx)
+        return jax.lax.switch(
+            idx, [tier_branch(b) for b in tiers] + [lambda: dyn(rf, mf, M)])
 
-    index = jnp.full((), len(tiers), jnp.int32)
-    for i in range(len(tiers) - 1, -1, -1):
-        index = jnp.where(tier_span[i] <= tiers[i], i, index)
-    return jax.lax.switch(index, [banded(b) for b in tiers] + [gather])
+    cost = jax.lax.map(one_elem, (ref_feat, meas_feat, Ms, spans))
+    return cost.transpose(0, 2, 3, 1)  # (B, H, W, P)
 
 
 def _gather_fused(
@@ -380,7 +408,10 @@ def cost_volume_fused(
     spans = jax.vmap(jax.vmap(
         lambda m: jnp.stack(max_row_spans(m, H, W, tuple(tiers),
                                           x_tiles=x_tiles))))(Ms)
-    tier_span = [jnp.max(spans[..., i]) for i in range(len(tiers))]
+    # per-element tier requirement: max over this element's (V, P) only —
+    # in scene-batch lockstep serving (B up to 16 distinct scenes) one
+    # rotation-heavy scene no longer drags every scene to a large band
+    elem_spans = jnp.max(spans, axis=1)  # (B, n_tiers)
 
     if view_mask is None:
         weights = jnp.full((B, V), 1.0 / V, jnp.float32)
@@ -388,40 +419,32 @@ def cost_volume_fused(
         m = view_mask.astype(jnp.float32)
         weights = m / jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
 
-    def pallas_branch(band_h):
-        def branch():
-            # one fused multi-view kernel launch per batch element; the
-            # per-view weights implement the masked mean inside the kernel
-            cvs = jax.lax.map(
-                lambda t: pallas_plane_sweep_multiview(
-                    t[0], t[1], t[2], t[3], band_h=band_h,
-                    dot_product=dot_product, x_tiles=x_tiles),
-                (ref_feat, meas_feats, Ms, weights),
-            )  # (B, P, H, W)
-            return cvs.transpose(0, 2, 3, 1)
-        return branch
-
-    def dyn_branch():
-        # dynamic-trip kernel: exact for ANY span, per-row cost tracks the
-        # real span — replaces the XLA gather fallback (measured ~1.2x
-        # faster at span>100 and far better VMEM behavior, docs/PERF.md)
-        cvs = jax.lax.map(
-            lambda t: pallas_plane_sweep_multiview_dyn(
-                t[0], t[1], t[2], t[3], dot_product=dot_product),
-            (ref_feat, meas_feats, Ms, weights),
-        )
-        return cvs.transpose(0, 2, 3, 1)
-
-    # Pick the cheapest exact implementation for this frame's geometry: the
-    # smallest band tier whose y-span check passes (kernel cost scales
+    # Pick the cheapest exact implementation for each element's geometry:
+    # the smallest band tier whose y-span check passes (kernel cost scales
     # linearly with band height; the static band's single dynamic-start
     # slice beats predicated chunking for spans that fit a tier), else the
-    # dynamic-trip kernel under extreme inter-view rotation. Real
+    # dynamic-trip kernel under extreme inter-view rotation (exact for ANY
+    # span, ~1.2x faster than XLA gather at span>100, docs/PERF.md). Real
     # trajectories need the large tiers often: on the hololens sample's
     # keyframes the per-row source span is 27 px at the median and 53 at
     # p90 (see docs/PERF.md).
-    index = jnp.full((), len(tiers), jnp.int32)  # default: dynamic-trip
-    for i in range(len(tiers) - 1, -1, -1):
-        index = jnp.where(tier_span[i] <= tiers[i], i, index)
-    return jax.lax.switch(
-        index, [pallas_branch(b) for b in tiers] + [dyn_branch])
+    def one_elem(t):
+        rf, mfs, M_b, w_b, sp = t
+
+        def tier_branch(band_h):
+            return lambda: pallas_plane_sweep_multiview(
+                rf, mfs, M_b, w_b, band_h=band_h,
+                dot_product=dot_product, x_tiles=x_tiles)
+
+        idx = jnp.full((), len(tiers), jnp.int32)  # default: dynamic-trip
+        for i in range(len(tiers) - 1, -1, -1):
+            idx = jnp.where(sp[i] <= tiers[i], i, idx)
+        return jax.lax.switch(
+            idx,
+            [tier_branch(b) for b in tiers]
+            + [lambda: pallas_plane_sweep_multiview_dyn(
+                rf, mfs, M_b, w_b, dot_product=dot_product)])
+
+    cvs = jax.lax.map(
+        one_elem, (ref_feat, meas_feats, Ms, weights, elem_spans))
+    return cvs.transpose(0, 2, 3, 1)

@@ -456,6 +456,118 @@ def pallas_plane_sweep_multiview_dyn(ref_feat, meas_feats, plane_matrices, weigh
       ref_hcw, meas_flat)
 
 
+def _kernel_dyn(params_ref, ref_ref, meas_ref, out_ref, *, H, W, C,
+                inv_channels, dot_product):
+    """Single-view dynamic-trip variant (the training ladder's last rung —
+    see cost_volume_vjp.make_diff_plane_sweep_dyn for the backward pass).
+    Same chunked fori_loop structure as _kernel_mv_dyn without the view
+    axis: exact for ANY geometry, per-row cost tracks the real y-span."""
+    p = pl.program_id(0)
+    rb = pl.program_id(1)
+
+    xw = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1).astype(jnp.float32)
+    jw = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0).astype(jnp.float32)
+
+    m00 = params_ref[p * 9 + 0]
+    m01 = params_ref[p * 9 + 1]
+    m02 = params_ref[p * 9 + 2]
+    m10 = params_ref[p * 9 + 3]
+    m11 = params_ref[p * 9 + 4]
+    m12 = params_ref[p * 9 + 5]
+    m20 = params_ref[p * 9 + 6]
+    m21 = params_ref[p * 9 + 7]
+    m22 = params_ref[p * 9 + 8]
+
+    x_scale = (W - 1.0) / W
+    y_scale = (H - 1.0) / H
+
+    for r in range(ROW_BLOCK):
+        y = (rb * ROW_BLOCK + r).astype(jnp.float32)
+        den = m20 * xw + m21 * y + m22 + 1e-8
+        xs = (m00 * xw + m01 * y + m02) / den * x_scale
+        ys = (m10 * xw + m11 * y + m12) / den * y_scale
+
+        in_bounds = (ys > -1.0) & (ys < jnp.float32(H))
+        ys_lo = jnp.where(in_bounds, ys, jnp.float32(H))
+        lo = jnp.clip(jnp.floor(jnp.min(ys_lo)), 0, H - 1).astype(jnp.int32)
+        ys_hi = jnp.where(in_bounds, ys, -1.0)
+        hi = jnp.clip(jnp.floor(jnp.max(ys_hi)) + 1.0, -1.0, H - 1.0).astype(jnp.int32)
+        c0 = lo // 8
+        c1 = hi // 8  # -1//8 == -1 when nothing is in bounds -> 0 trips
+
+        hatx = jnp.maximum(0.0, 1.0 - jnp.abs(xs - jw))
+
+        def chunk_body(c, acc):
+            start = pl.multiple_of(c * (8 * C), 8)
+            band = meas_ref[pl.ds(start, 8 * C), :]
+            xint = jax.lax.dot_general(
+                band, hatx, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ky = (8 * c).astype(jnp.float32) + jax.lax.broadcasted_iota(
+                jnp.int32, (8, 1), 0).astype(jnp.float32)
+            haty = jnp.maximum(0.0, 1.0 - jnp.abs(ys - ky))  # (8, W)
+            for k in range(8):
+                acc = acc + haty[k:k + 1, :] * xint[k * C:(k + 1) * C, :]
+            return acc
+
+        warped = jax.lax.fori_loop(
+            jnp.maximum(c0, 0), c1 + 1, chunk_body,
+            jnp.zeros((C, W), jnp.float32))
+        if dot_product:
+            cost = jnp.sum(ref_ref[r] * warped, axis=0, keepdims=True) * inv_channels
+        else:
+            cost = jnp.sum(jnp.abs(ref_ref[r] - warped), axis=0, keepdims=True)
+        out_ref[0, pl.ds(r, 1), :] = cost
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "dot_product"))
+def pallas_plane_sweep_dyn(ref_feat, meas_feat, plane_matrices,
+                           interpret: bool = False, dot_product: bool = True):
+    """Single-view dynamic-trip cost volume: exact for any geometry.
+    Same contract as pallas_plane_sweep, no band_h precondition."""
+    H, W, C = ref_feat.shape
+    P = plane_matrices.shape[0]
+    assert H % ROW_BLOCK == 0
+
+    if C % 8 != 0:
+        pad = 8 - C % 8
+        n_real = C
+        ref_feat = jnp.concatenate(
+            [ref_feat, jnp.zeros(ref_feat.shape[:2] + (pad,), ref_feat.dtype)], axis=-1)
+        meas_feat = jnp.concatenate(
+            [meas_feat, jnp.zeros(meas_feat.shape[:2] + (pad,), meas_feat.dtype)], axis=-1)
+        C = C + pad
+    else:
+        n_real = C
+
+    ref_hcw = jnp.swapaxes(ref_feat, 1, 2)
+    meas_flat = jnp.swapaxes(meas_feat, 1, 2).reshape(H * C, W)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(P, H // ROW_BLOCK),
+        in_specs=[
+            pl.BlockSpec((ROW_BLOCK, C, W), lambda p, rb, *_: (rb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # meas: whole, resident
+        ],
+        out_specs=pl.BlockSpec(
+            (1, ROW_BLOCK, W), lambda p, rb, *_: (p, rb, 0),
+            memory_space=pltpu.VMEM),
+    )
+
+    kernel = functools.partial(
+        _kernel_dyn, H=H, W=W, C=C, inv_channels=1.0 / n_real,
+        dot_product=dot_product)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((P, H, W), jnp.float32),
+        interpret=interpret,
+    )(plane_matrices.reshape(-1), ref_hcw, meas_flat)
+
+
 def _row_extremes(plane_matrices, H: int, W: int, x_tiles: int = 1):
     """Per-(plane, row, column-tile) in-bounds y extremes
     (min-floor, hi-needed). With x_tiles > 1 each tile has an independent

@@ -129,6 +129,34 @@ def test_dynamic_trip_kernel_exact_any_geometry(rng, euler, t):
     np.testing.assert_allclose(np.asarray(got), want, atol=5e-4)
 
 
+@pytest.mark.parametrize("euler,t", [
+    ([0, 0, 0], [0.12, 0.0, 0.0]),       # easy: tiny span
+    ([0, 0, 35], [0.1, 0.0, 0.0]),       # extreme roll: span > 64
+])
+def test_single_view_dyn_kernel_exact_any_geometry(rng, euler, t):
+    """Single-view dynamic-trip kernel (the training ladder's last rung)
+    must match the gather reference for ANY geometry."""
+    from dvmvs_tpu.ops.pallas.cost_volume_kernel import pallas_plane_sweep_dyn
+
+    H2, W2 = 64, 64
+    K2 = np.array([[40.0, 0, W2 / 2], [0, 40.0, H2 / 2], [0, 0, 1]], np.float32)
+    ref = rng.randn(H2, W2, C).astype(np.float32)
+    meas = rng.randn(H2, W2, C).astype(np.float32)
+    pose1 = np.eye(4, dtype=np.float32)
+    pose2 = _pose(euler, t)
+    invd = inverse_depth_planes(0.25, 20.0, P)
+    M = build_plane_matrices(
+        jnp.asarray(pose1), jnp.asarray(pose2), jnp.asarray(K2), invd)
+    got = pallas_plane_sweep_dyn(
+        jnp.asarray(ref), jnp.asarray(meas), M, interpret=True)
+    want = plane_sweep_cost_volume(
+        jnp.asarray(ref)[None], jnp.asarray(meas)[None],
+        jnp.asarray(pose1)[None], jnp.asarray(pose2)[None],
+        jnp.asarray(K2)[None], 0.25, 20.0, P, plane_chunk=4,
+    )[0].transpose(2, 0, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4)
+
+
 def test_span_check_flags_extreme_roll():
     pose1 = np.eye(4, dtype=np.float32)
     pose2 = _pose([0, 0, 35], [0.1, 0, 0])  # 35-degree roll

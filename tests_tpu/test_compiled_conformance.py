@@ -186,6 +186,108 @@ def test_compiled_vjp_backward_kernel(rng, band_h):
     _assert_close(dmeas_p, dmeas_g)
 
 
+@pytest.mark.parametrize("roll", [1.0, 35.0])
+def test_compiled_dyn_vjp_backward_kernel(rng, roll):
+    """Compiled DYNAMIC-TRIP custom-VJP pair (forward + chunked backward,
+    the training ladder's last rung) vs the gather path's JAX-derived
+    grads, incl. beyond-64-span geometry where every static tier fails."""
+    from dvmvs_tpu.ops.pallas.cost_volume_vjp import make_diff_plane_sweep_dyn
+
+    pose2 = _pose([0.5, 1.0, roll], [0.10, 0.02, 0.01])
+    invd = inverse_depth_planes(MIN_D, MAX_D, P)
+    M = build_plane_matrices(
+        jnp.asarray(np.eye(4, dtype=np.float32)), jnp.asarray(pose2),
+        jnp.asarray(_K()), invd)
+    ref = jnp.asarray(rng.randn(H, W, C).astype(np.float32))
+    meas = jnp.asarray(rng.randn(H, W, C).astype(np.float32))
+    cot = jnp.asarray(rng.randn(P, H, W).astype(np.float32))
+
+    f = make_diff_plane_sweep_dyn(interpret=False)
+    val_p, (dref_p, dmeas_p) = jax.value_and_grad(
+        lambda r, m: jnp.sum(f(r, m, M) * cot), (0, 1))(ref, meas)
+
+    pose1 = jnp.asarray(np.eye(4, dtype=np.float32))
+
+    def loss_gather(r, m):
+        cost = plane_sweep_cost_volume(
+            r[None], m[None], pose1[None], jnp.asarray(pose2)[None],
+            jnp.asarray(_K())[None], MIN_D, MAX_D, P,
+        )[0].transpose(2, 0, 1)
+        return jnp.sum(cost * cot)
+
+    val_g, (dref_g, dmeas_g) = jax.value_and_grad(
+        loss_gather, (0, 1))(ref, meas)
+    np.testing.assert_allclose(float(val_p), float(val_g), rtol=5e-3)
+    _assert_close(dref_p, dref_g)
+    _assert_close(dmeas_p, dmeas_g)
+
+
+def test_compiled_train_ladder_mixed_batch(rng):
+    """Per-element tier switch on hardware: a batch mixing easy geometry
+    (small band tier) with beyond-64-span geometry (dyn rung). Values and
+    grads of both elements vs the gather method."""
+    poses_meas = np.stack([
+        _pose([0.5, 1.0, 1.0], [0.10, 0.02, 0.01]),
+        _pose([0.5, 1.0, 35.0], [0.10, 0.02, 0.01]),  # span > 64
+    ])
+    invd = inverse_depth_planes(MIN_D, MAX_D, P)
+    spans = np.asarray(_spans_fn(1)(build_plane_matrices(
+        jnp.asarray(np.eye(4, dtype=np.float32)),
+        jnp.asarray(poses_meas[1]), jnp.asarray(_K()), invd)))
+    assert spans[-1] > BAND_TIERS[-1], "geometry must exceed every tier"
+
+    B = 2
+    ref = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    meas = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    cot = jnp.asarray(rng.randn(B, H, W, P).astype(np.float32))
+    pose1 = jnp.asarray(np.stack([np.eye(4, dtype=np.float32)] * B))
+    K = jnp.asarray(np.stack([_K()] * B))
+
+    def loss(r, m, method):
+        cost = plane_sweep_cost_volume_train(
+            r, m, pose1, jnp.asarray(poses_meas), K,
+            MIN_D, MAX_D, P, method=method)
+        return jnp.sum(cost * cot)
+
+    val_p, (dr_p, dm_p) = jax.value_and_grad(
+        lambda r, m: loss(r, m, "auto"), (0, 1))(ref, meas)
+    val_g, (dr_g, dm_g) = jax.value_and_grad(
+        lambda r, m: loss(r, m, "gather"), (0, 1))(ref, meas)
+    np.testing.assert_allclose(float(val_p), float(val_g), rtol=5e-3)
+    _assert_close(dr_p, dr_g)
+    _assert_close(dm_p, dm_g)
+
+
+def test_compiled_fused_per_element_mixed(rng):
+    """cost_volume_fused's per-element switch on hardware (the scene-batch
+    lockstep serving path): easy + extreme scenes in one batch vs the
+    gather oracle."""
+    from dvmvs_tpu.ops.cost_volume import cost_volume_fused
+
+    B, V = 2, 2
+    poses_meas = np.stack([
+        np.stack([_pose([0.5, 1.0, 1.0], [0.10, 0.02, 0.01]),
+                  _pose([0.3, -0.8, 0.2], [-0.08, 0.01, 0.02])]),
+        np.stack([_pose([0.5, 1.0, 35.0], [0.10, 0.02, 0.01]),  # dyn rung
+                  _pose([0.3, -0.8, 0.2], [-0.08, 0.01, 0.02])]),
+    ])  # (B, V, 4, 4)
+    ref = rng.randn(B, H, W, C).astype(np.float32)
+    meas = rng.randn(B, V, H, W, C).astype(np.float32)
+    pose1 = np.stack([np.eye(4, dtype=np.float32)] * B)
+    K = np.stack([_K()] * B)
+
+    got = cost_volume_fused(
+        jnp.asarray(ref), jnp.asarray(meas), jnp.asarray(pose1),
+        jnp.asarray(poses_meas), jnp.asarray(K), MIN_D, MAX_D, P,
+        method="pallas")
+    for b in range(B):
+        want = 0.5 * np.asarray(
+            _gather_oracle(ref[b], meas[b, 0], poses_meas[b, 0])) \
+            + 0.5 * np.asarray(
+                _gather_oracle(ref[b], meas[b, 1], poses_meas[b, 1]))
+        _assert_close(np.asarray(got[b]).transpose(2, 0, 1), want)
+
+
 def test_compiled_train_ladder_end_to_end(rng):
     """plane_sweep_cost_volume_train (auto = Pallas VJP ladder) on TPU:
     value + grads vs the gather method at a mid-tier geometry."""
