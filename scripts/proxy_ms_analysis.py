@@ -66,7 +66,10 @@ def paired_permutation_p(deltas: np.ndarray) -> float:
 
 
 def load_seed(seed_dir: str):
-    """-> {kind: {scene_id: (n_kf, 8) array}} for both model kinds."""
+    """-> {kind: {scene_id: (n_kf, 8) array}} for both model kinds.
+    Scene keys are reduced to the pairnet/fusionnet INTERSECTION so an
+    asymmetric run dir (a scene evaluated for one model only) degrades to
+    the comparable subset instead of raising downstream (advisor r4 #3)."""
     out = {}
     for kind in ("pairnet", "fusionnet"):
         scenes = {}
@@ -76,7 +79,55 @@ def load_seed(seed_dir: str):
             scenes[m.group(1) if m else f] = np.load(f)["arr_0"]
         if scenes:
             out[kind] = scenes
-    return out if len(out) == 2 else None
+    if len(out) != 2:
+        return None
+    common = sorted(set(out["pairnet"]) & set(out["fusionnet"]))
+    dropped = (set(out["pairnet"]) | set(out["fusionnet"])) - set(common)
+    if dropped:
+        print(f"{seed_dir}: dropping scenes present for one model only: "
+              f"{sorted(dropped)}")
+    if not common:
+        return None
+    return {k: {sc: v[sc] for sc in common} for k, v in out.items()}
+
+
+BASELINE_ROW_NAMES = {
+    "abs": "abs", "abs-rel": "abs-rel", "abs-inv": "abs-inv",
+    "sq-rel": "sq-rel", "rmse": "rmse", "a1 (d<1.25)": "δ<1.25",
+}
+
+
+def check_baseline_md(pair_seed, fus_seed, path="BASELINE.md", tol=5e-4):
+    """Fail if BASELINE.md's proxy table drifted from the recomputed
+    per-seed means (the merge logic makes stale hand-edits the risk once
+    seeds accrue — VERDICT r4 task 8). Matches rows '| <name> | a±b | c±d'
+    and compares all four numbers."""
+    text = open(path).read()
+    cell = r"\|\s*\*{0,2}([0-9.]+)±([0-9.]+)\*{0,2}\s*"
+    checked, bad = 0, []
+    for i, name in enumerate(METRICS):
+        row_label = BASELINE_ROW_NAMES.get(name)
+        if row_label is None:
+            continue
+        m = re.search(re.escape("| " + row_label + " ") + cell + cell, text)
+        if not m:
+            continue
+        want = (pair_seed[:, i].mean(), pair_seed[:, i].std(),
+                fus_seed[:, i].mean(), fus_seed[:, i].std())
+        got = tuple(float(g) for g in m.groups())
+        checked += 1
+        if any(abs(a - b) > tol for a, b in zip(got, want)):
+            bad.append(f"{row_label}: BASELINE.md has {got}, "
+                       f"recomputed {tuple(round(w, 4) for w in want)}")
+    if checked < 4:
+        raise SystemExit(
+            f"--check: only {checked} proxy table rows found in {path} "
+            f"(need >= 4) — table missing or reformatted")
+    if bad:
+        raise SystemExit("--check: BASELINE.md drifted from the npz "
+                         "results:\n  " + "\n  ".join(bad))
+    print(f"--check OK: {checked} BASELINE.md rows match the recomputed "
+          f"per-seed means (tol {tol})")
 
 
 def main():
@@ -84,6 +135,9 @@ def main():
     ap.add_argument("--root", default="results/proxy_ms")
     ap.add_argument("--markdown", default=None,
                     help="also write the tables as markdown to this path")
+    ap.add_argument("--check", action="store_true",
+                    help="verify BASELINE.md's proxy table against the "
+                         "recomputed per-seed means; exit 1 on drift")
     args = ap.parse_args()
 
     seeds = {}
@@ -103,6 +157,18 @@ def main():
     emit(f"## Multi-scene proxy: fusion vs backbone "
          f"({len(seeds)} seeds: {sorted(seeds)})")
     emit()
+    scene_sets = {s: tuple(sorted(seeds[s]["pairnet"])) for s in seeds}
+    if len(set(scene_sets.values())) > 1:
+        emit("Note: seeds evaluate on DIFFERENT held-out scene sets "
+             f"({ {s: len(v) for s, v in sorted(scene_sets.items())} }; "
+             "the corpus gained eval scenes between rounds and earlier "
+             "checkpoints no longer exist to re-evaluate). Every "
+             "fusion-vs-pairnet comparison below stays PAIRED — both "
+             "models always share scenes/keyframes within a seed — but "
+             "across-seed mean±std mixes scene difficulty, so read "
+             "per-seed spread with that caveat; the (seed, scene)-level "
+             "permutation test is unaffected.")
+        emit()
 
     # ---- per-seed table (mean over all keyframes of all scenes) ----
     seed_names = sorted(seeds)
@@ -185,26 +251,46 @@ def main():
     emit("| metric | pairnet mean \\|Δ\\| | fusionnet | gain % | "
          "scenes better | scene perm p |")
     emit("|---|---|---|---|---|---|")
+    stab_ps = []
     for i, name in enumerate(METRICS[:5]):  # magnitude metrics only
         dp, df = [], []
         for s in seed_names:
             for sc in sorted(seeds[s]["pairnet"]):
                 a = seeds[s]["pairnet"][sc][:, i]
                 b = seeds[s]["fusionnet"][sc][:, i]
+                if len(a) < 2 or len(b) < 2:
+                    continue  # no diffs to take (advisor r4 #2)
                 dp.append(np.nanmean(np.abs(np.diff(a))))
                 df.append(np.nanmean(np.abs(np.diff(b))))
         dp, df = np.array(dp), np.array(df)
+        keep = np.isfinite(dp) & np.isfinite(df)
+        dp, df = dp[keep], df[keep]
         d = dp - df  # >0 = fusion smoother
         gain = (dp.mean() - df.mean()) / max(dp.mean(), 1e-9) * 100
+        p_stab = paired_permutation_p(d)
+        stab_ps.append(p_stab)
         emit(f"| {name} | {dp.mean():.4f} | {df.mean():.4f} | "
              f"{gain:+.1f}% | {int((d > 0).sum())}/{len(d)} | "
-             f"{paired_permutation_p(d):.3f} |")
+             f"{p_stab:.3f} |")
     emit()
-    emit("Same pattern as the main table — fusion's error trace is "
-         "smoother in the mean on the relative metrics (driven by the "
-         "scenes where it wins outright) but scene-level sign consistency "
-         "is ~chance, so no temporal-stability claim survives the "
-         "permutation test either.")
+    # conclusion conditioned on the computed p-values (advisor r4 #1: a
+    # hard-coded 'nothing survives' sentence would contradict the table if
+    # re-run on data where a permutation p IS significant)
+    min_p = min(stab_ps) if stab_ps else 1.0
+    if min_p < 0.05:
+        emit(f"At least one metric's smoothness gain IS significant at the "
+             f"scene level (min perm p = {min_p:.3f}); see the perm p "
+             f"column for which.")
+    else:
+        emit(f"No temporal-stability claim reaches scene-level "
+             f"significance (min perm p = {min_p:.3f}); see the perm p "
+             f"column per metric.")
+    emit("Caveat: each scene's keyframes are treated as one contiguous "
+         "trace; the offline driver resets the engine on TRACKING LOST "
+         "lines, so a |Δ| spanning a reset boundary counts as flicker — "
+         "a slight bias against the stateful fusionnet (synthetic eval "
+         "scenes contain no lost segments, so this affects only real "
+         "datasets).")
 
     if args.markdown:
         os.makedirs(os.path.dirname(args.markdown) or ".", exist_ok=True)
@@ -220,6 +306,9 @@ def main():
     }
     with open(os.path.join(args.root, "analysis.json"), "w") as f:
         json.dump(side, f, indent=1)
+
+    if args.check:
+        check_baseline_md(pair_seed, fus_seed)
 
 
 if __name__ == "__main__":
