@@ -183,8 +183,14 @@ class InferenceEngine:
         return feats  # tuple of (T, B, ...) per scale
 
     def _gather_step_inputs(self, bank, images, x):
-        ref_feats = tuple(jnp.take(b, x["ref_idx"], axis=0) for b in bank)
-        meas_half = jnp.take(bank[0], x["meas_idx"], axis=0)
+        # banks may be stored bf16 (halves HBM residency + gather
+        # bandwidth for B=16 scene-batch serving); the network consumes
+        # f32 — the cast is a no-op for f32 banks
+        ref_feats = tuple(
+            jnp.take(b, x["ref_idx"], axis=0).astype(jnp.float32)
+            for b in bank)
+        meas_half = jnp.take(
+            bank[0], x["meas_idx"], axis=0).astype(jnp.float32)
         ref_images = jnp.take(images, x["ref_idx"], axis=0)
         return ref_images, ref_feats, meas_half
 

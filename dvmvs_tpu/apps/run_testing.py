@@ -169,6 +169,27 @@ def evaluate_scene(
     return predictions, reference_depths
 
 
+def _scan_schedule(T: int, scan_chunk: int):
+    """Chunk lengths for folding T steps into lax.scan dispatches: full
+    scan_chunk chunks plus a TAIL chunk rounded up to the next power of
+    two instead of a full chunk. Rounding T up to a scan_chunk multiple
+    wasted up to (scan_chunk-1) padded steps — the measured B>=8 pairnet
+    throughput dip — while an exact tail would compile one program per
+    distinct tail length; pow2 tails bound the extra compiles at
+    log2(scan_chunk) and the padding at the tail's own size."""
+    full, rem = divmod(T, scan_chunk)
+    sched = [scan_chunk] * full
+    if rem:
+        sched.append(min(1 << (rem - 1).bit_length(), scan_chunk))
+    return sched
+
+
+def _bank_dtype(name: str):
+    import jax.numpy as jnp
+
+    return {"bf16": jnp.bfloat16, "f32": jnp.float32}[name]
+
+
 def evaluate_scene_batched(
     engine: InferenceEngine,
     scene_folder: str,
@@ -180,6 +201,7 @@ def evaluate_scene_batched(
     max_frames: Optional[int] = None,
     assets: Optional["SceneAssets"] = None,
     scan_chunk: int = 0,
+    bank_dtype: str = "bf16",
 ):
     """Throughput mode (pairnet only): pack B independent keyframes per
     dispatch, optionally sharded over a device mesh — multi-chip bulk
@@ -246,11 +268,17 @@ def evaluate_scene_batched(
         images = jnp.asarray(img_np)
         feats = engine._extract_scan(
             engine.variables, images.reshape((pad_u // B, B) + img_np.shape[1:]))
-        bank = tuple(f.reshape((pad_u,) + f.shape[2:]) for f in feats)
+        # bf16 bank (default): halves HBM residency and gather bandwidth;
+        # the engine casts to f32 at consumption (parity pinned by
+        # tests/test_drivers_e2e.py::test_bank_bf16_parity)
+        bdt = _bank_dtype(bank_dtype)
+        bank = tuple(
+            f.reshape((pad_u,) + f.shape[2:]).astype(bdt) for f in feats)
         bank_index = {n: i for i, n in enumerate(unique)}
 
         T = -(-len(entries) // B)
-        T_pad = -(-T // scan_chunk) * scan_chunk
+        schedule = _scan_schedule(T, scan_chunk)
+        T_pad = sum(schedule)
         packed = pad_to(list(entries), T_pad * B)
         ref_idx = np.zeros((T_pad, B), np.int32)
         meas_idx = np.zeros((T_pad, B, V), np.int32)
@@ -269,16 +297,18 @@ def evaluate_scene_batched(
         K_b = jnp.tile(jnp.asarray(updated_K)[None], (B, 1, 1))
 
         depths = []
-        for c in range(0, T_pad, scan_chunk):
+        c = 0
+        for step in schedule:
             xs = dict(
-                ref_idx=jnp.asarray(ref_idx[c:c + scan_chunk]),
-                meas_idx=jnp.asarray(meas_idx[c:c + scan_chunk]),
-                view_mask=jnp.asarray(view_mask[c:c + scan_chunk]),
-                ref_pose=jnp.asarray(ref_pose[c:c + scan_chunk]),
-                meas_pose=jnp.asarray(meas_pose[c:c + scan_chunk]))
+                ref_idx=jnp.asarray(ref_idx[c:c + step]),
+                meas_idx=jnp.asarray(meas_idx[c:c + step]),
+                view_mask=jnp.asarray(view_mask[c:c + step]),
+                ref_pose=jnp.asarray(ref_pose[c:c + step]),
+                meas_pose=jnp.asarray(meas_pose[c:c + step]))
             out = engine._predict_pair_scan(
                 engine.variables, bank, images, K_b, xs)
             depths.append(np.asarray(out).reshape(-1, *out.shape[2:]))
+            c += step
         predictions = list(np.concatenate(depths)[:len(entries)])
         reference_depths = None
         if assets.depth_filenames is not None:
@@ -297,8 +327,10 @@ def evaluate_scene_batched(
         imgs = put(np.stack([assets.image(n) for n in chunk]))
         bank_chunks.append(engine._extract(engine.variables, imgs))
     n_scales = len(bank_chunks[0])
+    bdt = _bank_dtype(bank_dtype)
     bank = tuple(
-        jnp.concatenate([c[i] for c in bank_chunks], axis=0)[:len(unique)]
+        jnp.concatenate(
+            [c[i].astype(bdt) for c in bank_chunks], axis=0)[:len(unique)]
         for i in range(n_scales))
     bank_index = {n: i for i, n in enumerate(unique)}
 
@@ -311,7 +343,9 @@ def evaluate_scene_batched(
         batch = pad_to(batch, batch_size)
 
         ref_idx = np.array([bank_index[e[0]] for e in batch])
-        ref_feats = tuple(jnp.take(b, put(ref_idx), axis=0) for b in bank)
+        ref_feats = tuple(
+            jnp.take(b, put(ref_idx), axis=0).astype(jnp.float32)
+            for b in bank)
         ref_images = put(np.stack([assets.image(e[0]) for e in batch]))
         ref_poses = put(np.stack(
             [assets.pose(e[0]) for e in batch]).astype(np.float32))
@@ -324,7 +358,8 @@ def evaluate_scene_batched(
             names = pad_to(list(names), V)
             meas_idx.append([bank_index[n] for n in names])
             mposes.append([assets.pose(n) for n in names])
-        meas_half = jnp.take(bank[0], put(np.array(meas_idx)), axis=0)
+        meas_half = jnp.take(
+            bank[0], put(np.array(meas_idx)), axis=0).astype(jnp.float32)
         mposes = put(np.asarray(mposes, np.float32))
 
         depth = engine.predict_batch(
@@ -353,6 +388,7 @@ def evaluate_scenes_batched_fusion(
     max_frames: Optional[int] = None,
     asset_cache: Optional[Dict[str, "SceneAssets"]] = None,
     scan_chunk: int = 0,
+    bank_dtype: str = "bf16",
 ):
     """Scene-parallel fusionnet bulk eval: B INDEPENDENT scenes advance in
     lockstep, one batched recurrent step per dispatch, optionally sharded
@@ -434,7 +470,7 @@ def evaluate_scenes_batched_fusion(
     if scan_chunk:
         return _fusion_eval_scanned(
             engine, jobs, cfg, sdata, scene_of, eff_of, live, scan_chunk,
-            mesh)
+            mesh, bank_dtype=bank_dtype)
 
     sharding = None
     if mesh is not None:
@@ -458,8 +494,10 @@ def evaluate_scenes_batched_fusion(
         imgs = put(np.stack(
             [sdata[uj]["assets"].image(n) for uj, n in chunk]))
         chunks.append(engine._extract(engine.variables, imgs))
+    bdt = _bank_dtype(bank_dtype)
     bank = tuple(
-        jnp.concatenate([c[i] for c in chunks], axis=0)[:len(flat)]
+        jnp.concatenate(
+            [c[i].astype(bdt) for c in chunks], axis=0)[:len(flat)]
         for i in range(len(chunks[0])))
 
     state = jax.tree_util.tree_map(put, engine.init_batch_state(B))
@@ -495,8 +533,10 @@ def evaluate_scenes_batched_fusion(
             Ks.append(a.updated_K)
 
         ref_feats = tuple(
-            jnp.take(b, put(np.array(ref_idx)), axis=0) for b in bank)
-        meas_half = jnp.take(bank[0], put(np.array(meas_idx)), axis=0)
+            jnp.take(b, put(np.array(ref_idx)), axis=0).astype(jnp.float32)
+            for b in bank)
+        meas_half = jnp.take(
+            bank[0], put(np.array(meas_idx)), axis=0).astype(jnp.float32)
         depth, state = engine.fusion_step_batch(
             put(np.stack(ref_images)), ref_feats, meas_half,
             put(np.stack(ref_poses).astype(np.float32)),
@@ -522,7 +562,7 @@ def evaluate_scenes_batched_fusion(
 
 
 def _fusion_eval_scanned(engine, jobs, cfg, sdata, scene_of, eff_of, live,
-                         scan_chunk, mesh):
+                         scan_chunk, mesh, bank_dtype: str = "bf16"):
     """Scanned body of evaluate_scenes_batched_fusion (scan_chunk > 0): all
     per-step inputs are packed host-side into (T, B, ...) index/pose arrays
     once, the unique images + feature bank live on device, and the lockstep
@@ -548,10 +588,13 @@ def _fusion_eval_scanned(engine, jobs, cfg, sdata, scene_of, eff_of, live,
     images = jnp.asarray(img_np)
     feats = engine._extract_scan(
         engine.variables, images.reshape((pad_u // B, B) + img_np.shape[1:]))
-    bank = tuple(f.reshape((pad_u,) + f.shape[2:]) for f in feats)
+    bdt = _bank_dtype(bank_dtype)
+    bank = tuple(
+        f.reshape((pad_u,) + f.shape[2:]).astype(bdt) for f in feats)
 
     max_steps = max(len(sdata[u]["steps"]) for u in live)
-    T_pad = -(-max_steps // scan_chunk) * scan_chunk
+    schedule = _scan_schedule(max_steps, scan_chunk)
+    T_pad = sum(schedule)
     ref_idx = np.zeros((T_pad, B), np.int32)
     meas_idx = np.zeros((T_pad, B, V), np.int32)
     view_mask = np.zeros((T_pad, B, V), np.float32)
@@ -584,14 +627,15 @@ def _fusion_eval_scanned(engine, jobs, cfg, sdata, scene_of, eff_of, live,
         for si in range(B)]
     state = engine.init_batch_state(B)
     n_predicted = 0
-    for c in range(0, T_pad, scan_chunk):
+    c = 0
+    for step in schedule:
         xs = dict(
-            ref_idx=jnp.asarray(ref_idx[c:c + scan_chunk]),
-            meas_idx=jnp.asarray(meas_idx[c:c + scan_chunk]),
-            view_mask=jnp.asarray(view_mask[c:c + scan_chunk]),
-            ref_pose=jnp.asarray(ref_pose[c:c + scan_chunk]),
-            meas_pose=jnp.asarray(meas_pose[c:c + scan_chunk]),
-            keep=jnp.asarray(keep[c:c + scan_chunk]))
+            ref_idx=jnp.asarray(ref_idx[c:c + step]),
+            meas_idx=jnp.asarray(meas_idx[c:c + step]),
+            view_mask=jnp.asarray(view_mask[c:c + step]),
+            ref_pose=jnp.asarray(ref_pose[c:c + step]),
+            meas_pose=jnp.asarray(meas_pose[c:c + step]),
+            keep=jnp.asarray(keep[c:c + step]))
         state, out = engine._fusion_scan(
             engine.variables, bank, images, K_b, state, xs)
         depth = np.asarray(out)
@@ -606,6 +650,7 @@ def _fusion_eval_scanned(engine, jobs, cfg, sdata, scene_of, eff_of, live,
                 if results[si][1] is not None:
                     _, ref, _ = own["steps"][t]
                     results[si][1].append(own["assets"].gt_depth(ref))
+        c += step
 
     dt = time.perf_counter() - t0
     print(f"scene-batched eval: {n_predicted} keyframes over {B} scenes in "
@@ -643,6 +688,13 @@ def main():
                          "batches/steps into one dispatch via lax.scan "
                          "(device-resident image+feature bank; removes the "
                          "per-dispatch host round-trip; single-device only)")
+    ap.add_argument("--bank-dtype", choices=["bf16", "f32"], default="bf16",
+                    help="storage dtype of the device-resident feature "
+                         "banks in the batched/scanned throughput modes "
+                         "(bf16 halves HBM residency — ~0.5 GB/scene at "
+                         "320x256 — and is cast to f32 at consumption; "
+                         "parity vs f32 banks pinned in "
+                         "tests/test_drivers_e2e.py)")
     ap.add_argument("--width", type=int, default=None,
                     help="test image width (default: config default)")
     ap.add_argument("--height", type=int, default=None,
@@ -711,7 +763,7 @@ def main():
             results = evaluate_scenes_batched_fusion(
                 engine, jobs, cfg, mesh=mesh,
                 evaluate=not args.no_evaluate, max_frames=args.max_frames,
-                scan_chunk=args.scan_chunk)
+                scan_chunk=args.scan_chunk, bank_dtype=args.bank_dtype)
             for f, (predictions, gts) in list(zip(group_files, results))[:n_real]:
                 _, scene_name, system_name = parse_job(f)
                 save_results(predictions, gts, system_name, scene_name,
@@ -725,7 +777,8 @@ def main():
             predictions, gts = evaluate_scene_batched(
                 engine, scene_folder, index_file, cfg, args.batch_size,
                 mesh=mesh, evaluate=not args.no_evaluate,
-                max_frames=args.max_frames, scan_chunk=args.scan_chunk)
+                max_frames=args.max_frames, scan_chunk=args.scan_chunk,
+                bank_dtype=args.bank_dtype)
         else:
             predictions, gts = evaluate_scene(
                 engine, scene_folder, index_file, cfg,

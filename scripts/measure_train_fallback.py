@@ -1,12 +1,15 @@
-"""Measure how often the DIFFERENTIABLE cost-volume ladder leaves Pallas.
+"""Measure the DIFFERENTIABLE cost-volume ladder's tier distribution on
+realistic training geometry.
 
-plane_sweep_cost_volume_train (ops/cost_volume.py) picks the smallest band
-tier whose y-span check passes; when even the largest tier (band-64) fails,
-it falls back to the XLA gather path — which has no custom-VJP kernel, OOMs
-without remat, and measured ~2x slower (docs/PERF.md). This script answers
-"does realistic training geometry ever hit that rung?" by replaying the
-EXACT tier decision (same helpers: build_plane_matrices + max_row_spans,
-x_tiles=1, max over the batch) over:
+plane_sweep_cost_volume_train (ops/cost_volume.py) picks, PER BATCH
+ELEMENT, the smallest band tier whose y-span check passes; past band-64 it
+takes the dynamic-trip Pallas VJP pair ('dyn' below — before round 5 this
+rung was the XLA gather fallback, which had no custom-VJP kernel, OOMed
+without remat, and measured ~2x slower; docs/PERF.md). This script replays
+the EXACT tier decision (same helpers: build_plane_matrices +
+max_row_spans, x_tiles=1) at both granularities — per element (what the
+ladder does now) and max-over-batch (what the pre-round-5 batch-level
+switch did, kept to document the win) — over:
 
   1. one epoch of the proxy fusionnet training stream (B=4, S=8, 256^2,
      geometric-scale augmentation ON, the orchestrator's seeds) — decision
@@ -84,9 +87,12 @@ def ladder_index(ref_poses, meas_poses, K, H, W, depth_cfg):
 
 
 def tally(name, decisions, tiers):
+    """Last-rung label is 'dyn': since the per-element ladder landed, the
+    rung past the largest band tier is the dynamic-trip Pallas VJP pair —
+    XLA gather is unreachable from method='auto' on TPU."""
     n = max(len(decisions), 1)
     hist = {f"band{b}": decisions.count(i) / n for i, b in enumerate(tiers)}
-    hist["gather"] = decisions.count(len(tiers)) / n
+    hist["dyn"] = decisions.count(len(tiers)) / n
     print(f"{name}: n={len(decisions)} " + " ".join(
         f"{k}={v:.3f}" for k, v in hist.items() if v > 0))
     return {"n": len(decisions), "rates": hist}

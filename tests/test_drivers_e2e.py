@@ -241,8 +241,11 @@ def test_evaluate_scene_batched_matches_sequential(png_scene, tiny_cfg):
     seq, seq_gts = evaluate_scene(engine, scene, index_file, tiny_cfg)
 
     # batch 4 over 5 keyframes -> one full + one padded partial batch
+    # (f32 banks: this test pins the BATCHING logic against the f32
+    # sequential path; bf16-bank parity has its own test + tolerance)
     bat, bat_gts = evaluate_scene_batched(
-        engine, scene, index_file, tiny_cfg, batch_size=4)
+        engine, scene, index_file, tiny_cfg, batch_size=4,
+        bank_dtype="f32")
     assert len(bat) == len(seq) == 5
     assert len(bat_gts) == len(seq_gts)
     for s, b in zip(seq, bat):
@@ -252,7 +255,7 @@ def test_evaluate_scene_batched_matches_sequential(png_scene, tiny_cfg):
     mesh = make_mesh(8)
     shard, _ = evaluate_scene_batched(
         engine, scene, index_file, tiny_cfg, batch_size=8, mesh=mesh,
-        evaluate=False)
+        evaluate=False, bank_dtype="f32")
     for s, b in zip(seq, shard):
         np.testing.assert_allclose(b, s, atol=1e-4)
 
@@ -291,7 +294,8 @@ def test_evaluate_scenes_batched_fusion_matches_sequential(png_scene, tiny_cfg):
     seq_b, _ = evaluate_scene(engine, scene, idx_b, tiny_cfg)
 
     results = evaluate_scenes_batched_fusion(
-        engine, [(scene, idx_a), (scene, idx_b)], tiny_cfg)
+        engine, [(scene, idx_a), (scene, idx_b)], tiny_cfg,
+        bank_dtype="f32")
     bat_a, bat_gts_a = results[0]
     bat_b, _ = results[1]
     assert len(bat_a) == len(seq_a) == 3
@@ -304,7 +308,7 @@ def test_evaluate_scenes_batched_fusion_matches_sequential(png_scene, tiny_cfg):
     mesh = make_mesh(2)
     results = evaluate_scenes_batched_fusion(
         engine, [(scene, idx_a), (scene, idx_b)], tiny_cfg, mesh=mesh,
-        evaluate=False)
+        evaluate=False, bank_dtype="f32")
     for s, b in zip(seq_a + seq_b, results[0][0] + results[1][0]):
         np.testing.assert_allclose(b, s, atol=1e-4)
 
@@ -406,6 +410,67 @@ def test_feature_cache_bounded(png_scene, tiny_cfg):
     assert len(preds_capped) == len(preds_unbounded) == 8
     for a, b in zip(preds_unbounded, preds_capped):
         np.testing.assert_array_equal(a, b)
+
+
+def test_scan_schedule():
+    """Chunk schedule: full chunks + pow2 tail, never exceeding scan_chunk,
+    total >= T with bounded padding (the B>=8 chunk-tail throughput fix)."""
+    from dvmvs_tpu.apps.run_testing import _scan_schedule
+
+    assert _scan_schedule(32, 16) == [16, 16]
+    assert _scan_schedule(33, 16) == [16, 16, 1]
+    assert _scan_schedule(37, 16) == [16, 16, 8]   # tail 5 -> pow2 8
+    assert _scan_schedule(18, 16) == [16, 2]
+    assert _scan_schedule(3, 16) == [4]
+    assert _scan_schedule(23, 24) == [24]          # pow2 clamped to chunk
+    for T in range(1, 70):
+        for chunk in (4, 16, 24):
+            s = _scan_schedule(T, chunk)
+            assert sum(s) >= T and all(c <= chunk for c in s)
+            assert sum(s) - T < max(c for c in s)
+
+
+def test_bank_bf16_parity(png_scene, tiny_cfg):
+    """bf16 feature banks (the default in the batched/scanned throughput
+    modes — halves HBM residency at B=16 scene-batch serving) must
+    reproduce f32-bank depths to well under the metric noise floor. The
+    bound asserted here (max |Δd| <= 1e-2 m on 0.25-20 m depths, i.e.
+    <0.05% of range at random init) documents the cast cost; trained-
+    checkpoint parity on hardware is recorded in docs/PERF.md."""
+    from dvmvs_tpu.apps.engine import InferenceEngine
+    from dvmvs_tpu.apps.run_testing import (
+        evaluate_scene_batched,
+        evaluate_scenes_batched_fusion,
+    )
+
+    scene = os.path.join(png_scene, "tinyset", "000")
+    indices_dir = os.path.join(png_scene, "indices_bf16")
+    os.makedirs(indices_dir, exist_ok=True)
+    idx = os.path.join(indices_dir, "keyframe+tinyset+000+nmeas+2")
+    with open(idx, "w") as f:
+        f.write("00002.png 00001.png 00000.png\n")
+        f.write("00004.png 00003.png 00002.png\n")
+        f.write("00006.png 00005.png 00004.png\n")
+
+    engine = InferenceEngine("pairnet", tiny_cfg)
+    f32, _ = evaluate_scene_batched(
+        engine, scene, idx, tiny_cfg, batch_size=2, evaluate=False,
+        bank_dtype="f32")
+    b16, _ = evaluate_scene_batched(
+        engine, scene, idx, tiny_cfg, batch_size=2, evaluate=False,
+        bank_dtype="bf16")
+    for a, b in zip(f32, b16):
+        assert np.abs(a - b).max() <= 1e-2
+
+    engine = InferenceEngine("fusionnet", tiny_cfg)
+    f32 = evaluate_scenes_batched_fusion(
+        engine, [(scene, idx)], tiny_cfg, evaluate=False,
+        bank_dtype="f32")[0][0]
+    b16 = evaluate_scenes_batched_fusion(
+        engine, [(scene, idx)], tiny_cfg, evaluate=False,
+        bank_dtype="bf16")[0][0]
+    for a, b in zip(f32, b16):
+        assert np.abs(a - b).max() <= 1e-2
 
 
 @pytest.mark.heavy
