@@ -10,6 +10,7 @@ and a double-buffered host->device input pipeline.
 from __future__ import annotations
 
 import argparse
+import itertools
 import os
 import time
 
@@ -110,13 +111,25 @@ def run_epoch(step_fn, state, dataset, cfg, mesh, seed, kind, print_frequency=10
               max_steps=None, logger=None):
     meter = LossMeter()
     data_sh = batch_sharding(mesh)
-    it = device_prefetch(
-        batch_iterator(dataset, cfg.batch_size, shuffle=True, seed=seed), data_sh)
+    it = iter(device_prefetch(
+        batch_iterator(dataset, cfg.batch_size, shuffle=True, seed=seed), data_sh))
+    # The FIRST batch covers a cold host decode AND the epoch's first
+    # device_put through the relay — observed wedged for 15+ min when the
+    # relay was grinding another client's killed compiles, with no output
+    # until the step-1 liveness block, so the orchestrator's staleness
+    # watchdog killed a healthy run (round 5, seed 4). Heartbeat that
+    # silent window too.
+    with liveness("first batch (host decode + device_put)"):
+        try:
+            first_batch = next(it)
+        except StopIteration:
+            first_batch = None
     rng = jax.random.PRNGKey(seed)
     t0 = time.time()
     t_last, n_last = t0, 0
     n = 0
-    for batch in it:
+    for batch in (itertools.chain([first_batch], it)
+                  if first_batch is not None else ()):
         if max_steps is not None and n >= max_steps:
             break
         rng, sub = jax.random.split(rng)
