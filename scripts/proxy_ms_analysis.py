@@ -410,6 +410,11 @@ def main():
         "seeds": seed_names, "metrics": list(METRICS),
         "pairnet_seed_means": pair_seed.tolist(),
         "fusionnet_seed_means": fus_seed.tolist(),
+        "scene_perm_p": perm_p_by_metric,
+        "gain_of_means_pct_with_ci95": {
+            k: [round(g, 2), round(lo, 2), round(hi, 2)]
+            for k, (g, lo, hi) in ci_by_metric.items()},
+        "n_seed_scene_pairs": n_sc,
     }
     with open(os.path.join(args.root, "analysis.json"), "w") as f:
         json.dump(side, f, indent=1)
