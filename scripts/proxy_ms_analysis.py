@@ -120,8 +120,9 @@ def load_seed(seed_dir: str):
 
 
 BASELINE_ROW_NAMES = {
-    "abs": "abs", "abs-rel": "abs-rel", "abs-inv": "abs-inv",
-    "sq-rel": "sq-rel", "rmse": "rmse", "a1 (d<1.25)": "δ<1.25",
+    "abs": ("abs",), "abs-rel": ("abs-rel",), "abs-inv": ("abs-inv",),
+    "sq-rel": ("sq-rel",), "rmse": ("rmse",),
+    "a1 (d<1.25)": ("a1 (d<1.25)", "δ<1.25"),
 }
 
 
@@ -134,18 +135,22 @@ def check_baseline_md(pair_seed, fus_seed, path="BASELINE.md", tol=5e-4):
     cell = r"\|\s*\*{0,2}([0-9.]+)±([0-9.]+)\*{0,2}\s*"
     checked, bad = 0, []
     for i, name in enumerate(METRICS):
-        row_label = BASELINE_ROW_NAMES.get(name)
-        if row_label is None:
+        row_labels = BASELINE_ROW_NAMES.get(name)
+        if row_labels is None:
             continue
-        m = re.search(re.escape("| " + row_label + " ") + cell + cell, text)
-        if not m:
+        # LAST match in the doc = the most recent round's table (earlier
+        # rounds' tables remain above as history and are not re-checked)
+        matches = [m for lbl in row_labels for m in re.finditer(
+            re.escape("| " + lbl + " ") + cell + cell, text)]
+        if not matches:
             continue
+        m = max(matches, key=lambda m: m.start())
         want = (pair_seed[:, i].mean(), pair_seed[:, i].std(),
                 fus_seed[:, i].mean(), fus_seed[:, i].std())
         got = tuple(float(g) for g in m.groups())
         checked += 1
         if any(abs(a - b) > tol for a, b in zip(got, want)):
-            bad.append(f"{row_label}: BASELINE.md has {got}, "
+            bad.append(f"{name}: BASELINE.md has {got}, "
                        f"recomputed {tuple(round(w, 4) for w in want)}")
     if checked < 4:
         raise SystemExit(

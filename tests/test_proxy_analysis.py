@@ -77,7 +77,7 @@ def test_check_mode_detects_drift(tmp_path):
     fus = pair * 0.5
 
     good = "\n".join(
-        f"| {m.BASELINE_ROW_NAMES[name]} | "
+        f"| {m.BASELINE_ROW_NAMES[name][0]} | "
         f"{pair[:, i].mean():.4f}±{pair[:, i].std():.4f} | "
         f"**{fus[:, i].mean():.4f}±{fus[:, i].std():.4f}** | x |"
         for i, name in enumerate(m.METRICS)
