@@ -42,7 +42,10 @@ def sign_test_p(n_pos: int, n_neg: int) -> float:
     if n == 0:
         return 1.0
     k = min(n_pos, n_neg)
-    tail = sum(math.comb(n, i) for i in range(k + 1)) / 2.0 ** n
+    # exact big-int arithmetic: 2.0**n overflows float64 past n ~= 1074
+    from fractions import Fraction
+    tail = float(Fraction(sum(math.comb(n, i) for i in range(k + 1)),
+                          1 << n))
     return min(1.0, 2.0 * tail)
 
 
