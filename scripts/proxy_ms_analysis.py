@@ -345,11 +345,22 @@ def main():
         magnitude = (f"the abs gain-of-means is {g:+.1f}% with 95% CI "
                      f"[{lo:+.1f}%, {hi:+.1f}%], entirely above the "
                      f"reference's -{REF_HEADLINE}%")
+    # multiple-comparisons guard: 8 metrics tested; note which survive a
+    # Bonferroni correction (the most conservative choice)
+    bonf = sorted(k for k, p in perm_p_by_metric.items() if p < 0.05 / 8)
+    if bonf:
+        mc_note = (f" The significances are not a multiple-comparisons "
+                   f"artifact: {', '.join(bonf)} survive(s) Bonferroni "
+                   f"correction across all 8 metrics (p < 0.00625).")
+    else:
+        mc_note = (" Caveat: no single metric survives a Bonferroni "
+                   "correction across the 8 tested (p < 0.00625).")
     emit(f"**Verdict at this training budget**: this proxy {direction}; "
          f"{magnitude}. (Reference headline measured on ScanNet after the "
          f"full schedule; this proxy is 9-scene synthetic at 480-1500 "
          f"steps/model, so magnitudes are not directly comparable — "
-         f"direction and significance are the transferable result.)")
+         f"direction and significance are the transferable result.)"
+         f"{mc_note}")
 
     # ---- temporal stability appendix ----
     # The LSTM's designed-for property is smoothness ACROSS keyframes
