@@ -377,7 +377,7 @@ def main():
     emit("| metric | pairnet mean \\|Δ\\| | fusionnet | gain % | "
          "scenes better | scene perm p |")
     emit("|---|---|---|---|---|---|")
-    stab_ps = []
+    stab_rows = []  # (name, perm_p, gain%) for the signed conclusion
     for i, name in enumerate(METRICS[:5]):  # magnitude metrics only
         dp, df = [], []
         for s in seed_names:
@@ -394,7 +394,7 @@ def main():
         d = dp - df  # >0 = fusion smoother
         gain = (dp.mean() - df.mean()) / max(dp.mean(), 1e-9) * 100
         p_stab = paired_permutation_p(d)
-        stab_ps.append(p_stab)
+        stab_rows.append((name, p_stab, gain))
         emit(f"| {name} | {dp.mean():.4f} | {df.mean():.4f} | "
              f"{gain:+.1f}% | {int((d > 0).sum())}/{len(d)} | "
              f"{p_stab:.3f} |")
@@ -402,15 +402,25 @@ def main():
     # conclusion conditioned on the computed p-values (advisor r4 #1: a
     # hard-coded 'nothing survives' sentence would contradict the table if
     # re-run on data where a permutation p IS significant)
-    min_p = min(stab_ps) if stab_ps else 1.0
-    if min_p < 0.05:
-        emit(f"At least one metric's smoothness gain IS significant at the "
-             f"scene level (min perm p = {min_p:.3f}); see the perm p "
-             f"column for which.")
+    sig_smooth = [m for m, p, g in stab_rows if p < 0.05 and g > 0]
+    sig_flicker = [m for m, p, g in stab_rows if p < 0.05 and g < 0]
+    if sig_smooth or sig_flicker:
+        parts = []
+        if sig_smooth:
+            parts.append(f"fusion's trace is significantly SMOOTHER on "
+                         f"{', '.join(sig_smooth)}")
+        if sig_flicker:
+            parts.append(f"significantly MORE flickery on "
+                         f"{', '.join(sig_flicker)}")
+        emit("Signed result at the scene level: " + "; ".join(parts) +
+             " (see the perm p column). A mixed sign pattern is "
+             "consistent with the main table: fusion's errors are "
+             "smaller and smoother in the inverse-depth space it "
+             "optimizes, while its raw-scale errors fluctuate more "
+             "frame-to-frame.")
     else:
-        emit(f"No temporal-stability claim reaches scene-level "
-             f"significance (min perm p = {min_p:.3f}); see the perm p "
-             f"column per metric.")
+        emit("No temporal-stability claim reaches scene-level "
+             "significance; see the perm p column per metric.")
     emit("Caveat: each scene's keyframes are treated as one contiguous "
          "trace; the offline driver resets the engine on TRACKING LOST "
          "lines, so a |Δ| spanning a reset boundary counts as flicker — "
