@@ -23,11 +23,31 @@ def save_checkpoint(path: str, variables: Any):
         f.write(data)
 
 
+def _match_placement(template: Any, restored: Any) -> Any:
+    """Give every restored leaf the device placement of its template leaf.
+
+    ``flax.serialization.from_bytes`` returns HOST numpy leaves. If the
+    caller's template held committed device arrays (the inference engines
+    init on device) and the result keeps numpy leaves, every subsequent
+    dispatch silently re-uploads the full parameter pytree (~139 MB for
+    fusionnet) — measured at ~2.9 s/keyframe through this sandbox's relay
+    tunnel, a 40x slowdown over the 70 ms step. Leaves whose template was
+    already host numpy are left untouched (training flows manage their own
+    placement/sharding)."""
+    def place(t, r):
+        if isinstance(t, jax.Array):
+            return jax.device_put(r, t.sharding)
+        return r
+    return jax.tree.map(place, template, restored)
+
+
 def load_checkpoint(path: str, template: Any) -> Any:
-    """Restore into the structure of ``template`` (e.g. model.init output)."""
+    """Restore into the structure of ``template`` (e.g. model.init output),
+    preserving the template's device placement leaf-by-leaf."""
     with open(path, "rb") as f:
         data = f.read()
-    return flax.serialization.from_bytes(template, data)
+    return _match_placement(template,
+                            flax.serialization.from_bytes(template, data))
 
 
 def load_checkpoint_partial(path: str, template: Any) -> Any:
@@ -54,7 +74,8 @@ def load_checkpoint_partial(path: str, template: Any) -> Any:
         return out
 
     merged = merge(flax.serialization.to_state_dict(template), raw)
-    return flax.serialization.from_state_dict(template, merged)
+    return _match_placement(
+        template, flax.serialization.from_state_dict(template, merged))
 
 
 def checkpoint_exists(path: Optional[str]) -> bool:

@@ -222,3 +222,4 @@ def test_train_step_accepts_compact_wire_batch(rng):
     assert np.isfinite(a) and np.isfinite(b)
     # identical pixels up to the f16 depth cast -> near-identical loss
     assert abs(a - b) < 0.05 * max(abs(b), 1.0), (a, b)
+
