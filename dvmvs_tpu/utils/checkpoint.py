@@ -34,6 +34,9 @@ def _match_placement(template: Any, restored: Any) -> Any:
     tunnel, a 40x slowdown over the 70 ms step. Leaves whose template was
     already host numpy are left untouched (training flows manage their own
     placement/sharding)."""
+    if template is None:  # raw-dict restore (run_testing_baseline)
+        return restored
+
     def place(t, r):
         if isinstance(t, jax.Array):
             return jax.device_put(r, t.sharding)

@@ -33,3 +33,7 @@ def test_load_checkpoint_preserves_device_placement(tmp_path):
     assert all(isinstance(l, np.ndarray) and not isinstance(l, jax.Array)
                for l in jax.tree.leaves(out_host))
 
+
+    # template=None -> raw restored dict (run_testing_baseline.py:105)
+    raw = load_checkpoint(str(path), None)
+    assert isinstance(raw, dict) and "params" in raw
